@@ -1,0 +1,160 @@
+"""YAML config system with `parent_config` chain inheritance.
+
+Equivalent of the reference's config layer (lib/arguments/__init__.py:9-60):
+configs are plain YAML; a `parent_config:` key points at a base file whose
+values are recursively merged underneath (child keys win); cycles are
+detected.  Train/eval take two files — a data config and an experiment
+config — merged in that order (reference train.py:507-519).
+
+`Args` is a read-only attribute view over nested dicts with dict-style
+fallbacks, so hyperparameters read as `args.opt.lambda_depth_l1`.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any
+
+import yaml
+
+
+class Args:
+    """Recursive attribute view over a config dict."""
+
+    def __init__(self, d: dict):
+        self._d = {}
+        for k, v in d.items():
+            self._d[k] = Args(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self._d[name]
+        except KeyError as e:
+            raise AttributeError(
+                f"config has no key {name!r}; available: "
+                f"{sorted(self._d)}") from e
+
+    def __getitem__(self, name: str) -> Any:
+        return self._d[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._d
+
+    def get(self, name: str, default: Any = None) -> Any:
+        return self._d.get(name, default)
+
+    def keys(self):
+        return self._d.keys()
+
+    def to_dict(self) -> dict:
+        return {k: v.to_dict() if isinstance(v, Args) else v
+                for k, v in self._d.items()}
+
+    def __repr__(self) -> str:
+        return f"Args({self.to_dict()!r})"
+
+
+def merge_dicts(base: dict, child: dict) -> dict:
+    """Recursive merge; child keys win (reference merge_configs
+    lib/arguments/__init__.py:32-42)."""
+    out = copy.deepcopy(base)
+    for k, v in child.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_dicts(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def load_config_dict(path: str, _seen: tuple = ()) -> dict:
+    """Load a YAML file, resolving the parent_config chain (child wins)."""
+    path = os.path.abspath(path)
+    if path in _seen:
+        raise ValueError(f"parent_config cycle: {[*_seen, path]}")
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    parent = d.pop("parent_config", None)
+    if parent:
+        if not os.path.isabs(parent):
+            # Reference resolves relative to the CWD (it always runs from the
+            # repo root); resolve relative to the config file first, falling
+            # back to CWD so both layouts work.
+            cand = os.path.join(os.path.dirname(path), parent)
+            parent = cand if os.path.exists(cand) else parent
+        d = merge_dicts(load_config_dict(parent, (*_seen, path)), d)
+    return d
+
+
+def parse(path: str, base: Args | None = None) -> Args:
+    """Parse a config file into Args, optionally merging over an existing
+    Args (the reference threads the experiment config under the data config:
+    `parse(data_cfg, parse(exp_cfg))`, train.py:518-519)."""
+    d = load_config_dict(path)
+    if base is not None:
+        d = merge_dicts(base.to_dict(), d)
+    return Args(d)
+
+
+def default_experiment() -> Args:
+    """Built-in hyperparameter defaults mirroring the reference's
+    configs/base.yaml + configs/exp.yaml so programmatic use needs no files."""
+    return Args({
+        "seed": 1,
+        "model_dir": "output",
+        "task_name": "default",
+        "exp_name": "exp",
+        "dynamic": False,
+        "testing_iterations": 1000,
+        "saving_iterations": [15000, 20000, 25000, 30000],
+        "visual_interval": 1000,
+        "model": {
+            "voxel_size": 0.15,
+            "bkgd_extent_factor": 3,
+            "object_extent_factor": 4,
+            "obj_pt_num": 10_000,
+            "dimension": 2,
+            "sh_degree": 3,
+            "white_background": False,
+        },
+        "opt": {
+            "iterations": 30_000,
+            "position_lr_init": 0.00016,
+            "position_lr_final": 0.0000016,
+            "position_lr_delay_mult": 0.01,
+            "position_lr_max_steps": 30_000,
+            "feature_lr": 0.0025,
+            "opacity_lr": 0.05,
+            "scaling_lr": 0.005,
+            "rotation_lr": 0.001,
+            "sh_increase_interval": 1000,
+            "densification_interval": 100,
+            "opacity_reset_interval": 3000,
+            "densify_from_iter": 500,
+            "densify_until_iter": 15_000,
+            "densify_scale_threshold": 0.0002,
+            "densify_grad_threshold": 0.0002,
+            "densify_weight_threshold": 0.0,
+            "prune_size_threshold": 0.1,
+            "thresh_opa_prune": 0.003,
+            "lambda_cd": 0.01,
+            "lambda_depth_l1": 0.1,
+            "lambda_intensity_l1": 0.85,
+            "lambda_intensity_l2": 0.0,
+            "lambda_intensity_dssim": 0.15,
+            "lambda_raydrop_bce": 0.01,
+            "lambda_reg": 0.01,
+            "use_rayhit": True,
+            "use_normal_init": True,
+            "use_voxel_init": True,
+        },
+        "refine": {
+            "use_refine": True,
+            "use_spatial": True,
+            "epochs": 400,
+            "batch_size": 16,
+            "lr": 0.001,
+        },
+    })
