@@ -41,10 +41,18 @@ def min_sq_dists(a: Array, a_mask: Array, b: Array, b_mask: Array,
     b = _pad_to(b, m_pad).reshape(-1, chunk, 3)
     b_mask = _pad_to(b_mask, m_pad).reshape(-1, chunk)
 
+    a_sq = jnp.sum(a * a, axis=-1)                           # (N,)
+
     def body(best, args):
         b_chunk, mask_chunk = args
-        d2 = jnp.sum((a[:, None, :] - b_chunk[None, :, :]) ** 2, axis=-1)
-        d2 = jnp.where(mask_chunk[None, :], d2, _BIG)
+        # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b — the cross term is a matmul,
+        # so the O(N*M) distance field runs on the MXU instead of the VPU.
+        b_sq = jnp.sum(b_chunk * b_chunk, axis=-1)           # (chunk,)
+        cross = jnp.dot(a, b_chunk.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d2 = a_sq[:, None] + b_sq[None, :] - 2.0 * cross
+        d2 = jnp.where(mask_chunk[None, :], jnp.maximum(d2, 0.0), _BIG)
         return jnp.minimum(best, jnp.min(d2, axis=-1)), None
 
     init = jnp.full((a.shape[0],), _BIG, a.dtype)

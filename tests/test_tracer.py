@@ -1,0 +1,200 @@
+"""Tiled tracer vs the dense oracle: binning, forward parity, gradients."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_rt_tpu.core import rays as rays_lib
+from lidar_rt_tpu.ops import binning, composite, geometry, tracer
+
+
+def _random_bundle(n=80, seed=0, spread=8.0, center=(12.0, 0.0, 0.0),
+                   opacity_range=(0.3, 0.95)):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(scale=spread / 3, size=(n, 3)) + np.asarray(center)
+    quats = rng.normal(size=(n, 4))
+    scales = rng.uniform(0.2, 0.6, size=(n, 2))
+    opac = rng.uniform(*opacity_range, size=(n,))
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0, :] = rng.uniform(-0.5, 1.0, size=(n, 3))
+    sh[:, 1:4, :] = rng.normal(scale=0.1, size=(n, 3, 3))
+    return composite.SurfelBundle(
+        means=jnp.asarray(means, jnp.float32),
+        rotations=jnp.asarray(quats, jnp.float32),
+        scales=jnp.asarray(scales, jnp.float32),
+        opacities=jnp.asarray(opac, jnp.float32),
+        sh=jnp.asarray(sh, jnp.float32))
+
+
+GRID = rays_lib.SensorGrid.from_bounds(32, (-0.3, 0.1))
+WIDTH = 256
+S2W = jnp.eye(4)
+BG = jnp.array([0.0, 0.0, 1.0])
+
+
+def _oracle(bundle, active_deg=3):
+    origin, dirs = rays_lib.range_rays(GRID, WIDTH, S2W)
+    out = composite.render_dense(bundle, origin, dirs.reshape(-1, 3), BG,
+                                 active_deg)
+    return out.channels.reshape(GRID.height, WIDTH, 9), out.accum_weights
+
+
+class TestBinning:
+    def test_center_lands_in_right_tile(self):
+        # A splat straight ahead (azimuth 0) at the middle inclination.
+        bundle = _random_bundle(1)
+        means = jnp.array([[10.0, 0.0, -1.0]])
+        cfg = binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=4)
+        asn = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), means,
+                                  jnp.full((1, 2), 0.3), jnp.full((1,), 0.9),
+                                  cfg)
+        r, c, _ = rays_lib.project_points(GRID, means, jnp.eye(4), WIDTH)
+        ty, tx = int(r[0]) // 8, int(c[0]) // 64
+        t = ty * 4 + tx
+        assert bool(asn.valid[t, 0])
+        assert int(asn.index[t, 0]) == 0
+
+    def test_azimuth_seam_wrap(self):
+        # A splat behind the sensor (azimuth ~ pi boundary = column seam).
+        means = jnp.array([[-10.0, 0.01, -1.0]])
+        cfg = binning.TileConfig(tile_h=32, tile_w=64, max_per_tile=4)
+        asn = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), means,
+                                  jnp.full((1, 2), 1.5), jnp.full((1,), 0.9),
+                                  cfg)
+        hit_tiles = np.where(np.asarray(asn.valid[:, 0]))[0]
+        # footprint near the seam: both the first and last column tile see it
+        assert 0 in hit_tiles and 3 in hit_tiles
+
+    def test_nearest_first_and_truncation(self):
+        means = jnp.array([[5.0, 0.0, -0.5], [20.0, 0.0, -2.0],
+                           [10.0, 0.0, -1.0]])
+        cfg = binning.TileConfig(tile_h=32, tile_w=256, max_per_tile=2)
+        asn = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), means,
+                                  jnp.full((3, 2), 0.5), jnp.full((3,), 0.9),
+                                  cfg)
+        assert list(np.asarray(asn.index[0, :2])) == [0, 2]  # 5 m, then 10 m
+        assert int(asn.truncated[0]) == 1
+
+    def test_transparent_surfels_skipped(self):
+        means = jnp.array([[10.0, 0.0, -1.0]])
+        cfg = binning.TileConfig(tile_h=32, tile_w=256, max_per_tile=4)
+        asn = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), means,
+                                  jnp.full((1, 2), 0.5),
+                                  jnp.full((1,), 1e-4), cfg)
+        assert not bool(asn.valid.any())
+
+
+class TestTracerForwardParity:
+    @pytest.mark.parametrize("exact_order", [True, False])
+    def test_matches_oracle(self, exact_order):
+        bundle = _random_bundle(80)
+        cfg = tracer.TraceConfig(
+            tile=binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=80),
+            exact_order=exact_order, tile_batch=4)
+        out = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, cfg)
+        ref_ch, ref_acc = _oracle(bundle)
+        err = np.abs(np.asarray(out.channels) - np.asarray(ref_ch))
+        if exact_order:
+            assert err.max() < 1e-4
+        else:
+            # tile-order approximation: tiny fraction of pixels where two
+            # surfels interleave differently per ray
+            assert (err > 5e-2).mean() < 1e-3
+            assert np.median(err) < 1e-4
+        if exact_order:
+            np.testing.assert_allclose(np.asarray(out.accum_weights),
+                                       np.asarray(ref_acc), atol=1e-4)
+
+    def test_k_truncation_error_shrinks_with_k(self):
+        # The K-candidate cap replaces the reference's unbounded chunked
+        # re-trace loop (forward.cu:282-291).  The contract: error decreases
+        # monotonically in K and vanishes once K covers every candidate.
+        bundle = _random_bundle(120, seed=3, opacity_range=(0.7, 0.99))
+
+        def run(k):
+            cfg = tracer.TraceConfig(
+                tile=binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=k))
+            return tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, cfg)
+
+        full = run(120)
+        d_full = np.asarray(full.channels[..., 3])
+        mask = np.asarray(full.channels[..., 4]) > 0.5
+
+        def mean_err(k):
+            d = np.asarray(run(k).channels[..., 3])
+            return np.abs(d - d_full)[mask].mean()
+
+        e16, e48, e96 = mean_err(16), mean_err(48), mean_err(96)
+        assert e16 > e48 > e96
+        assert e96 < 0.05
+        assert mean_err(120) == 0.0
+
+    def test_nondivisible_raster(self):
+        grid = rays_lib.SensorGrid.from_bounds(66, (-0.3, 0.1))
+        bundle = _random_bundle(40, seed=5)
+        cfg = tracer.TraceConfig(
+            tile=binning.TileConfig(tile_h=32, tile_w=128, max_per_tile=40))
+        out = tracer.trace(bundle, grid, 1030, S2W, BG, 3, cfg)
+        assert out.channels.shape == (66, 1030, 9)
+        origin, dirs = rays_lib.range_rays(grid, 1030, S2W)
+        ref = composite.render_dense(bundle, origin, dirs.reshape(-1, 3), BG,
+                                     3).channels.reshape(66, 1030, 9)
+        np.testing.assert_allclose(np.asarray(out.channels), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_empty_scene_is_background(self):
+        bundle = _random_bundle(4)
+        bundle = bundle._replace(opacities=jnp.zeros((4,)))
+        out = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3)
+        np.testing.assert_allclose(np.asarray(out.channels[..., 0:3]),
+                                   np.broadcast_to(np.array([0, 0, 1.0]),
+                                                   (32, 256, 3)), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.channels[..., 8]), 1.0)
+
+
+class TestTracerGradients:
+    def _loss(self, trace_fn):
+        def loss(bundle):
+            out = trace_fn(bundle)
+            ch = out.channels if hasattr(out, "channels") else out
+            return (jnp.sum(ch[..., 3] ** 2) * 1e-3
+                    + jnp.sum(ch[..., 0:3] ** 2)
+                    + jnp.sum(ch[..., 8]))
+        return loss
+
+    def test_grads_match_oracle(self):
+        bundle = _random_bundle(40, seed=7)
+        cfg = tracer.TraceConfig(
+            tile=binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=40),
+            tile_batch=4)
+
+        def run_tiled(b):
+            return tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
+
+        def run_oracle(b):
+            origin, dirs = rays_lib.range_rays(GRID, WIDTH, S2W)
+            out = composite.render_dense(b, origin, dirs.reshape(-1, 3), BG, 3)
+            return out.channels.reshape(GRID.height, WIDTH, 9)
+
+        g_tiled = jax.grad(self._loss(run_tiled))(bundle)
+        g_oracle = jax.grad(self._loss(run_oracle))(bundle)
+        for name in ("means", "scales", "opacities", "sh", "rotations"):
+            a = np.asarray(getattr(g_tiled, name))
+            b = np.asarray(getattr(g_oracle, name))
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-3,
+                                       err_msg=name)
+
+    def test_render_frame_outputs(self):
+        bundle = _random_bundle(40, seed=8)
+        out = tracer.render_frame(bundle, GRID, WIDTH, S2W, 3)
+        assert out["depth"].shape == (32, 256)
+        assert out["raydrop"].shape == (32, 256)
+        rd = np.asarray(out["raydrop"])
+        assert (rd >= 0).all() and (rd <= 1).all()
+        # empty rays: bg logits (0 hit, 1 drop) -> drop prob ~ sigmoid-ish
+        empty = np.asarray(out["channels"][..., 4]) < 1e-6
+        assert rd[empty].min() > 0.5
