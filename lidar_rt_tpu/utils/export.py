@@ -1,0 +1,96 @@
+"""Point-cloud / image export helpers (no external deps).
+
+Replaces the reference's Open3D-based PLY/PNG writing (eval.py:478-486,
+viewer.py) with a binary-little-endian PLY writer and a minimal PNG encoder
+(zlib), so eval artifacts work on any TPU host.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def write_ply(path: str, points: np.ndarray,
+              colors: np.ndarray | None = None) -> None:
+    """points (N, 3) float; colors (N, 3) in [0, 1] optional."""
+    points = np.asarray(points, np.float32)
+    n = points.shape[0]
+    has_color = colors is not None
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if has_color:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    header.append("end_header")
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        if has_color:
+            rgb = np.clip(np.asarray(colors) * 255.0, 0, 255).astype(np.uint8)
+            rec = np.zeros(n, dtype=[("xyz", np.float32, 3),
+                                     ("rgb", np.uint8, 3)])
+            rec["xyz"] = points
+            rec["rgb"] = rgb
+            f.write(rec.tobytes())
+        else:
+            f.write(points.tobytes())
+
+
+def read_ply(path: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """Read back PLYs written by write_ply (and simple ascii/binary files)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode().strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = next(int(h.split()[-1]) for h in header
+                 if h.startswith("element vertex"))
+        has_color = any("red" in h for h in header)
+        if has_color:
+            rec = np.frombuffer(
+                f.read(n * 15), dtype=[("xyz", np.float32, 3),
+                                       ("rgb", np.uint8, 3)])
+            return rec["xyz"].copy(), rec["rgb"].astype(np.float32) / 255.0
+        pts = np.frombuffer(f.read(n * 12), np.float32).reshape(n, 3)
+        return pts.copy(), None
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: (H, W) grayscale in [0,1] or (H, W, 3) RGB in [0,1]."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    data = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    h, w = data.shape[:2]
+    raw = b"".join(b"\x00" + data[i].tobytes() for i in range(h))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        c = struct.pack(">I", len(payload)) + typ + payload
+        return c + struct.pack(">I", zlib.crc32(typ + payload))
+
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(raw)))
+        f.write(chunk(b"IEND", b""))
+
+
+_TURBO_ANCHORS = np.array([
+    [0.19, 0.07, 0.23], [0.28, 0.35, 0.95], [0.11, 0.74, 0.72],
+    [0.63, 0.95, 0.23], [0.99, 0.70, 0.10], [0.90, 0.20, 0.05],
+    [0.48, 0.02, 0.01]], np.float32)
+
+
+def colormap(values: np.ndarray) -> np.ndarray:
+    """Map [0,1] scalars to a turbo-like RGB ramp (the reference uses cv2
+    colormaps for depth/intensity snapshots, train.py:281-300)."""
+    v = np.clip(np.asarray(values, np.float32), 0.0, 1.0)
+    x = v * (len(_TURBO_ANCHORS) - 1)
+    i = np.clip(x.astype(np.int32), 0, len(_TURBO_ANCHORS) - 2)
+    frac = (x - i)[..., None]
+    return _TURBO_ANCHORS[i] * (1 - frac) + _TURBO_ANCHORS[i + 1] * frac
