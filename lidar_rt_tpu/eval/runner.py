@@ -1,0 +1,129 @@
+"""Eval runner — the eval.py equivalent.
+
+Renders train/test/all frames, optionally refines ray-drop with the U-Net,
+masks predictions (gt mask or predicted rayhit, eval.py:178-184), computes
+the full metric suite and aggregates to JSON
+(LiDARRTMeter.run, eval.py:367-524).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_rt_tpu.data.frames import LiDARFrames
+from lidar_rt_tpu.eval import metrics
+from lidar_rt_tpu.ops import tracer as tracer_lib
+from lidar_rt_tpu.scene import Scene, compose
+
+
+class EvalRunner:
+    """eval_type: "train" | "test" | "all" (eval.py:381-392);
+    raydrop_ratio: the 0.4 hit/drop threshold (eval.py:72);
+    use_gt_mask: mask predictions with the recorded mask instead of the
+    predicted one (eval.py:184)."""
+
+    def __init__(self, scene: Scene, frames: LiDARFrames, args,
+                 trace_cfg: tracer_lib.TraceConfig | None = None,
+                 unet_apply: Callable | None = None,
+                 raydrop_ratio: float = 0.4, use_gt_mask: bool = False,
+                 max_depth: float = 80.0, lpips_fn=None):
+        self.scene = scene
+        self.frames = frames
+        self.args = args
+        self.cfg = trace_cfg or tracer_lib.TraceConfig()
+        self.unet_apply = unet_apply
+        self.raydrop_ratio = raydrop_ratio
+        self.use_gt_mask = use_gt_mask
+        self.max_depth = max_depth
+        self.lpips_fn = lpips_fn
+
+    def _frame_ids(self, eval_type: str) -> list[int]:
+        if eval_type == "train":
+            return list(self.frames.train_frames)
+        if eval_type == "test":
+            return list(self.frames.eval_frames)
+        if eval_type == "all":
+            return list(range(self.frames.num_frames))
+        raise ValueError(f"invalid eval type {eval_type!r}")
+
+    def render_frame(self, f: int) -> dict:
+        bundle, _ = compose(self.scene, jnp.asarray(f, jnp.int32))
+        out = tracer_lib.render_frame(
+            bundle, self.frames.grid, self.frames.width,
+            self.frames.pose(f),
+            self.scene.background.active_sh_degree, self.cfg,
+            bool(self.args.opt.use_rayhit))
+        if self.unet_apply is not None:
+            out = dict(out)
+            out["raydrop"] = self.unet_apply(f, out)
+        return out
+
+    def record_render(self, f: int) -> dict:
+        """One frame's masked prediction + gt arrays (eval.py:100-264)."""
+        out = self.render_frame(f)
+        gt_mask = np.asarray(self.frames.mask(f))
+        gt_depth = np.asarray(self.frames.depth(f))
+        gt_intensity = np.clip(np.asarray(self.frames.intensity(f)), 0, 1)
+
+        raydrop = np.asarray(out["raydrop"])
+        pred_hit = raydrop < self.raydrop_ratio
+        mask = gt_mask if self.use_gt_mask else pred_hit
+
+        depth = np.asarray(out["depth"]) * mask
+        intensity = np.clip(np.asarray(out["intensity"]), 0, 1) * mask
+
+        gt_pts = np.asarray(self.frames.points_from_range(
+            f, jnp.asarray(gt_depth)))[gt_mask]
+        pred_pts = np.asarray(self.frames.points_from_range(
+            f, jnp.asarray(depth)))[mask]
+        return {
+            "depth": depth, "intensity": intensity, "rayhit": pred_hit,
+            "raydrop": raydrop, "gt_depth": gt_depth,
+            "gt_intensity": gt_intensity, "gt_mask": gt_mask,
+            "gt_pts": gt_pts, "pred_pts": pred_pts,
+        }
+
+    def evaluate_frame(self, f: int) -> dict:
+        r = self.record_render(f)
+        return {
+            "depth": metrics.depth_metrics(r["gt_depth"], r["depth"],
+                                           self.max_depth, self.lpips_fn),
+            "intensity": metrics.intensity_metrics(
+                r["gt_intensity"], r["intensity"], self.lpips_fn),
+            "raydrop": metrics.raydrop_metrics(
+                (~r["gt_mask"]).astype(np.float64),
+                (~r["rayhit"]).astype(np.float64), self.raydrop_ratio),
+            "points": metrics.points_metrics(
+                r["gt_pts"].astype(np.float64),
+                r["pred_pts"].astype(np.float64)),
+        }
+
+    def run(self, eval_type: str = "test", output_dir: str | None = None
+            ) -> dict:
+        """Aggregate means over frames -> results dict; optionally writes
+        results_all.json + per-frame json (eval.py:488-520)."""
+        frame_ids = self._frame_ids(eval_type)
+        per_frame = {f: self.evaluate_frame(f) for f in frame_ids}
+
+        agg: dict[str, dict[str, float]] = {}
+        for group in ("depth", "intensity", "raydrop", "points"):
+            keys = per_frame[frame_ids[0]][group].keys()
+            agg[group] = {}
+            for k in keys:
+                vals = [per_frame[f][group][k] for f in frame_ids]
+                vals = [v for v in vals if np.isfinite(v)]
+                agg[group][k] = float(np.mean(vals)) if vals else float("nan")
+
+        results = {"eval_type": eval_type, "num_frames": len(frame_ids),
+                   "mean": agg,
+                   "per_frame": {str(f): per_frame[f] for f in frame_ids}}
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            with open(os.path.join(output_dir, "results_all.json"), "w") as fp:
+                json.dump(results, fp, indent=2)
+        return results
