@@ -1,0 +1,91 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_rt_tpu.core import rays as rays_lib
+from lidar_rt_tpu.ops import tracer as tracer_lib
+from lidar_rt_tpu.ops.binning import TileConfig
+from lidar_rt_tpu.ops.composite import SurfelBundle
+from lidar_rt_tpu.parallel import make_mesh, trace_ray_sharded
+
+GRID = rays_lib.SensorGrid.from_bounds(32, (-0.3, 0.1))
+WIDTH = 256
+S2W = jnp.eye(4)
+BG = jnp.array([0.0, 0.0, 1.0])
+CFG = tracer_lib.TraceConfig(
+    tile=TileConfig(tile_h=32, tile_w=32, max_per_tile=64), tile_batch=2)
+
+
+def _bundle(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(scale=3.0, size=(n, 3)) + np.array([12.0, 0, 0])
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0, :] = rng.uniform(-0.5, 1.0, size=(n, 3))
+    return SurfelBundle(
+        means=jnp.asarray(means, jnp.float32),
+        rotations=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        scales=jnp.asarray(rng.uniform(0.2, 0.6, (n, 2)), jnp.float32),
+        opacities=jnp.asarray(rng.uniform(0.4, 0.95, (n,)), jnp.float32),
+        sh=jnp.asarray(sh))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh(dp=1, rays=8)
+
+
+class TestRayShardedTrace:
+    def test_matches_single_device(self, mesh):
+        bundle = _bundle()
+        ref = tracer_lib.trace(bundle, GRID, WIDTH, S2W, BG, 3, CFG)
+        out = trace_ray_sharded(bundle, GRID, WIDTH, S2W, BG, 3, CFG, mesh)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(ref.channels), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.accum_weights),
+                                   np.asarray(ref.accum_weights), atol=1e-5)
+
+    def test_gradients_match_single_device(self, mesh):
+        bundle = _bundle(40, seed=2)
+
+        def loss_sharded(b):
+            out = trace_ray_sharded(b, GRID, WIDTH, S2W, BG, 3, CFG, mesh)
+            return jnp.sum(out.channels[..., 3] ** 2) * 1e-3 \
+                + jnp.sum(out.channels[..., 0])
+
+        def loss_ref(b):
+            out = tracer_lib.trace(b, GRID, WIDTH, S2W, BG, 3, CFG)
+            return jnp.sum(out.channels[..., 3] ** 2) * 1e-3 \
+                + jnp.sum(out.channels[..., 0])
+
+        g_s = jax.grad(loss_sharded)(bundle)
+        g_r = jax.grad(loss_ref)(bundle)
+        for name in ("means", "scales", "opacities", "sh"):
+            a, b = np.asarray(getattr(g_s, name)), np.asarray(
+                getattr(g_r, name))
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                       err_msg=name)
+
+    def test_jit_with_mesh(self, mesh):
+        bundle = _bundle(30, seed=3)
+
+        @jax.jit
+        def run(b):
+            return trace_ray_sharded(b, GRID, WIDTH, S2W, BG, 3, CFG,
+                                     mesh).channels
+
+        out = run(bundle)
+        assert out.shape == (32, 256, 9)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMesh:
+    def test_dp_rays_factorization(self):
+        m = make_mesh(dp=2, rays=4)
+        assert m.shape == {"dp": 2, "rays": 4}
+        with pytest.raises(ValueError):
+            make_mesh(dp=3)
