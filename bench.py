@@ -1,0 +1,107 @@
+"""Benchmark: fwd+bwd ray throughput of the tiled tracer on a Waymo-scale
+scan (64 x 2650, ~130k surfels).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver north-star of 1 Gray/s fwd+bwd
+per chip (BASELINE.md), i.e. value_mray / 1000.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from lidar_rt_tpu.core import rays as rays_lib
+from lidar_rt_tpu.ops import tracer as tracer_lib
+from lidar_rt_tpu.ops.binning import TileConfig
+from lidar_rt_tpu.ops.composite import SurfelBundle
+
+H, W = 64, 2650
+N_SURFELS = 131_072
+WARMUP, ITERS = 2, 8
+
+
+def street_scene_bundle(n: int, seed: int = 0) -> SurfelBundle:
+    """A street-like surfel soup: ground annulus + wall bands, so tiles see
+    realistic (non-uniform) candidate counts."""
+    rng = np.random.default_rng(seed)
+    n_ground = n // 2
+    n_wall = n - n_ground
+    # ground: annulus 3..60 m
+    r = np.sqrt(rng.uniform(3.0 ** 2, 60.0 ** 2, n_ground))
+    th = rng.uniform(-np.pi, np.pi, n_ground)
+    ground = np.stack([r * np.cos(th), r * np.sin(th),
+                       rng.normal(0, 0.05, n_ground)], 1)
+    # walls: two sides of a corridor + scattered facades
+    x = rng.uniform(-60, 60, n_wall)
+    side = rng.choice([-1, 1], n_wall)
+    y = side * rng.uniform(6, 25, n_wall)
+    z = rng.uniform(0, 6, n_wall)
+    walls = np.stack([x, y, z], 1)
+    pts = np.concatenate([ground, walls]).astype(np.float32)
+
+    quats = np.zeros((n, 4), np.float32)
+    # ground facing up (identity: normal=+z), walls facing sideways
+    quats[:n_ground, 0] = 1.0
+    quats[n_ground:, 0] = np.sqrt(0.5)
+    quats[n_ground:, 1] = np.sqrt(0.5)
+    quats += rng.normal(0, 0.1, (n, 4)).astype(np.float32)
+
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0, :] = rng.uniform(-0.5, 1.0, (n, 3))
+    return SurfelBundle(
+        means=jnp.asarray(pts),
+        rotations=jnp.asarray(quats),
+        scales=jnp.asarray(rng.uniform(0.1, 0.35, (n, 2)).astype(np.float32)),
+        opacities=jnp.asarray(rng.uniform(0.3, 0.95, n).astype(np.float32)),
+        sh=jnp.asarray(sh))
+
+
+def main() -> None:
+    grid = rays_lib.SensorGrid.from_bounds(H, (-0.31, 0.04),
+                                           pixel_offset=0.5)
+    s2w = jnp.eye(4).at[2, 3].set(2.0)
+    bg = jnp.array([0.0, 0.0, 1.0])
+    bundle = street_scene_bundle(N_SURFELS)
+    cfg = tracer_lib.TraceConfig(
+        tile=TileConfig(tile_h=64, tile_w=128, max_per_tile=512),
+        exact_order=True, tile_batch=4)
+
+    @jax.jit
+    def fwd_bwd(bundle):
+        def loss(b):
+            out = tracer_lib.trace(b, grid, W, s2w, bg, 3, cfg)
+            return (jnp.sum(jnp.abs(out.channels[..., 3])) * 1e-3
+                    + jnp.sum(out.channels[..., 0] ** 2))
+
+        l, g = jax.value_and_grad(loss)(bundle)
+        return l, g.means
+
+    for _ in range(WARMUP):
+        l, g = fwd_bwd(bundle)
+    jax.block_until_ready((l, g))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        l, g = fwd_bwd(bundle)
+    jax.block_until_ready((l, g))
+    dt = (time.perf_counter() - t0) / ITERS
+
+    mrays = H * W / dt / 1e6
+    print(json.dumps({
+        "metric": "fwd+bwd ray throughput, 64x2650 scan, 131k surfels",
+        "value": round(mrays, 2),
+        "unit": "Mray/s/chip",
+        "vs_baseline": round(mrays / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Command-line drivers: training and evaluation.
+
+API-compatible with the reference entry points (train.py:504-531,
+eval.py:527-559):
+
+    python train.py -dc configs/<data>.yaml -ec configs/exp.yaml [-m ckpt] [-r]
+    python eval.py  -dc ... -ec ... [-m ckpt] [-t train|test|all]
+
+The data config adds a `dataset:` key (synthetic | kitti360 | waymo)
+dispatched by `load_dataset` (the reference routes on the source_dir path
+substring, lib/dataloader/__init__.py:10-22).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+
+import jax
+import numpy as np
+
+from lidar_rt_tpu import config as config_lib
+from lidar_rt_tpu.data import build as build_lib
+from lidar_rt_tpu.utils import checkpoint as ckpt_lib
+from lidar_rt_tpu.utils.record import Recorder
+
+
+def set_seed(seed: int) -> None:
+    """Determinism setup (train.py:51-64 — cuDNN toggles become no-ops on
+    TPU; XLA is deterministic by default)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def load_dataset(args):
+    """-> (LiDARFrames, list[ActorTrack] | None)."""
+    name = str(args.get("dataset", "")).lower()
+    src = str(args.get("source_dir", ""))
+    if not name:
+        name = ("waymo" if "waymo" in src
+                else "kitti360" if "kitti" in src else "synthetic")
+    if name == "synthetic":
+        from lidar_rt_tpu.data import synthetic
+        kw = args.get("synthetic")
+        kw = kw.to_dict() if kw is not None else {}
+        frames, track = synthetic.generate(**kw)
+        return frames, ([track] if track is not None else None)
+    if name == "kitti360":
+        from lidar_rt_tpu.data import kitti
+        return kitti.load(src, args)
+    if name == "waymo":
+        from lidar_rt_tpu.data import waymo
+        return waymo.load(src, args)
+    raise ValueError(f"unknown dataset {name!r}")
+
+
+def _model_dir(args) -> str:
+    return os.path.join(str(args.model_dir), str(args.task_name),
+                        str(args.exp_name))
+
+
+def _trace_cfg(args):
+    from lidar_rt_tpu.ops import tracer as tracer_lib
+    from lidar_rt_tpu.ops.binning import TileConfig
+    t = args.get("tracer")
+    kw = t.to_dict() if t is not None else {}
+    tile = TileConfig(
+        tile_h=int(kw.get("tile_h", 32)), tile_w=int(kw.get("tile_w", 128)),
+        max_per_tile=int(kw.get("max_per_tile", 512)))
+    return tracer_lib.TraceConfig(
+        tile=tile, exact_order=bool(kw.get("exact_order", True)),
+        tile_batch=int(kw.get("tile_batch", 4)))
+
+
+def main_train(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("-dc", "--data_config", required=True)
+    p.add_argument("-ec", "--exp_config", required=True)
+    p.add_argument("-m", "--model_path", default=None)
+    p.add_argument("-r", "--resume", action="store_true")
+    p.add_argument("--iterations", type=int, default=None)
+    a = p.parse_args(argv)
+
+    args = config_lib.parse(a.data_config, config_lib.parse(a.exp_config))
+    set_seed(int(args.get("seed", 1)))
+
+    frames, tracks = load_dataset(args)
+    model_dir = _model_dir(args)
+    os.makedirs(model_dir, exist_ok=True)
+    recorder = Recorder(os.path.join(model_dir, "logs"))
+
+    from lidar_rt_tpu.train import loop as loop_lib
+    scene = build_lib.assemble_scene(frames, tracks, args)
+    trainer = loop_lib.Trainer(scene, frames, args, _trace_cfg(args))
+
+    if a.resume or a.model_path:
+        path = a.model_path or ckpt_lib.find_best(os.path.join(model_dir,
+                                                               "models"))
+        if path:
+            state, meta = ckpt_lib.load(path)
+            trainer.state = jax.tree.map(lambda x: x, state)
+            trainer.iteration = int(meta.get("iteration", 0))
+            print(f"resumed from {path} @ iteration {trainer.iteration}")
+
+    total = a.iterations or int(args.opt.iterations)
+    testing_every = int(args.get("testing_iterations", 1000))
+    saving = set(args.get("saving_iterations", []))
+    best_psnr = -1.0
+
+    t0 = time.time()
+    while trainer.iteration < total:
+        chunk = min(testing_every, total - trainer.iteration)
+        hist = trainer.run(iterations=chunk, log_every=100)
+        recorder.step = trainer.iteration
+        recorder.update_loss_stats(
+            {k: v for k, v in hist[-1].items() if isinstance(v, float)})
+        recorder.record("train")
+
+        # periodic eval + best-checkpoint retention (train.py:328-380)
+        eval_frames = frames.eval_frames or [0]
+        from lidar_rt_tpu.train.losses import psnr as psnr_fn
+        import jax.numpy as jnp
+        psnrs = []
+        for f in eval_frames:
+            out = trainer.render_eval(f)
+            mask = frames.mask(f)
+            psnrs.append(float(psnr_fn(
+                jnp.clip(out["intensity"], 0, 1), frames.intensity(f),
+                mask)))
+        mean_psnr = float(np.mean(psnrs))
+        is_best = mean_psnr > best_psnr
+        best_psnr = max(best_psnr, mean_psnr)
+        it = trainer.iteration
+        if is_best or it in saving or it >= total:
+            ckpt_lib.retain_best(
+                os.path.join(model_dir, "models"), it, trainer.state,
+                is_best, {"iteration": it, "eval_psnr": mean_psnr})
+        print(f"[{time.time()-t0:8.1f}s] it {it}/{total} "
+              f"loss {hist[-1]['loss']:.4f} eval intensity PSNR "
+              f"{mean_psnr:.2f}{' *best*' if is_best else ''} "
+              f"alive {hist[-1]['alive']}")
+
+    # ray-drop refinement phase (train.py:386-447)
+    if bool(args.refine.use_refine):
+        from lidar_rt_tpu.train import refine as refine_lib
+        train_ids = frames.train_frames or list(range(frames.num_frames))
+        use_spatial = bool(args.refine.use_spatial)
+        inputs, labels = refine_lib.collect_inputs(
+            lambda f: trainer.render_eval(f), frames, train_ids, use_spatial)
+        model, variables, hist = refine_lib.train_unet(
+            inputs, labels, epochs=int(args.refine.epochs),
+            batch_size=int(args.refine.batch_size),
+            lr=float(args.refine.lr),
+            use_rot=bool(args.refine.get("use_rot", False)))
+        ckpt_lib.save(os.path.join(model_dir, "models", "unet.npz"),
+                      variables, {"in_ch": inputs.shape[-1],
+                                  "final_loss": hist[-1]})
+        print(f"unet refinement: {hist[0]:.4f} -> {hist[-1]:.4f}")
+    recorder.close()
+
+
+def main_eval(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("-dc", "--data_config", required=True)
+    p.add_argument("-ec", "--exp_config", required=True)
+    p.add_argument("-m", "--model_path", default=None)
+    p.add_argument("-un", "--unet_path", default=None)
+    p.add_argument("-t", "--eval_type", default="test",
+                   choices=["train", "test", "all"])
+    p.add_argument("--use_gt_mask", action="store_true")
+    a = p.parse_args(argv)
+
+    args = config_lib.parse(a.data_config, config_lib.parse(a.exp_config))
+    frames, tracks = load_dataset(args)
+    model_dir = _model_dir(args)
+
+    path = a.model_path or ckpt_lib.find_best(os.path.join(model_dir,
+                                                           "models"))
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint under {model_dir}/models")
+    state, meta = ckpt_lib.load(path)
+    scene = state.scene if hasattr(state, "scene") else state
+    print(f"evaluating {path} (meta {meta})")
+
+    unet_apply = None
+    unet_path = a.unet_path or os.path.join(model_dir, "models", "unet.npz")
+    if os.path.exists(unet_path):
+        from lidar_rt_tpu.models.unet import RayDropUNet
+        from lidar_rt_tpu.train.refine import apply_unet
+        variables, umeta = ckpt_lib.load(unet_path)
+        model = RayDropUNet(in_ch=int(umeta.get("in_ch", 3)))
+        use_spatial = int(umeta.get("in_ch", 3)) > 3
+
+        def unet_apply(f, out):  # noqa: F811
+            if use_spatial:
+                import jax.numpy as jnp
+                origin, dirs = frames.rays(f)
+                ray_o = jnp.broadcast_to(origin, dirs.shape)
+                return apply_unet(model, variables, out["raydrop"],
+                                  out["intensity"], out["depth"], ray_o,
+                                  dirs)
+            return apply_unet(model, variables, out["raydrop"],
+                              out["intensity"], out["depth"])
+        print(f"using unet {unet_path}")
+
+    from lidar_rt_tpu.eval.runner import EvalRunner
+    runner = EvalRunner(scene, frames, args, _trace_cfg(args),
+                        unet_apply=unet_apply, use_gt_mask=a.use_gt_mask)
+    out_dir = os.path.join(model_dir, "metrics")
+    results = runner.run(a.eval_type, out_dir)
+    print(json.dumps(results["mean"], indent=2))
