@@ -1,0 +1,322 @@
+"""Pallas TPU forward kernel for the tiled surfel tracer.
+
+Same semantics as the scanned-JAX path in ops/tracer.py (tile-order
+compositing), but fused into one VMEM-resident kernel per
+(tile, ray-block):
+
+  * the per-(ray, candidate) intersection math (ops/geometry.py) runs as
+    VPU broadcasts over a (RAY_BLOCK, K_CHUNK) window,
+  * front-to-back transmittance along the candidate axis is computed in
+    log space with a *triangular-ones matmul* — an exclusive cumsum of
+    log(1 - alpha) as an (R, KC) @ (KC, KC) MXU contraction — instead of a
+    sequential k-buffer (reference forward.cu:195-292),
+  * per-hit SH shading is an (R, 16) @ (16, KC) MXU matmul per channel,
+  * per-candidate accumulated weights reduce over rays inside the kernel
+    and accumulate across ray-blocks in the sequential grid (the
+    atomicAdd equivalent, forward.cu:272).
+
+Channel rows of the (16, R) output block: 0:3 color, 3 depth, 4 accum,
+5:8 normal, 8 final transmittance (config.h:19-24; background composite and
+ray-drop head are applied outside, lib/gaussian_renderer/__init__.py:163-173).
+
+The backward pass uses the same tiling with the hand-derived VJP
+(ops/pallas_backward.py); `pallas_trace` wires both into a jax.custom_vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lidar_rt_tpu.core import quaternions as quat_lib
+from lidar_rt_tpu.core import rays as rays_lib
+from lidar_rt_tpu.core import sh as sh_lib
+from lidar_rt_tpu.core import transforms
+from lidar_rt_tpu.ops import geometry
+from lidar_rt_tpu.ops.binning import TileConfig, bin_surfels
+from lidar_rt_tpu.ops.composite import RenderOutputs, SurfelBundle
+
+Array = jax.Array
+
+K_CHUNK = 128          # candidate lane chunk
+NUM_OUT_ROWS = 16      # padded channel rows (9 used)
+
+
+@dataclass(frozen=True)
+class PallasTraceConfig:
+    tile: TileConfig = TileConfig(tile_h=32, tile_w=128, max_per_tile=512)
+    ray_block: int = 1024
+
+    def __post_init__(self):
+        if self.tile.max_per_tile % K_CHUNK:
+            raise ValueError(f"max_per_tile must be a multiple of {K_CHUNK}")
+        if (self.tile.tile_h * self.tile.tile_w) % self.ray_block:
+            raise ValueError("tile ray count must divide by ray_block")
+
+
+def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
+                    opac_ref, sign_ref, valid_ref, sh_ref,
+                    chans_ref, accum_ref, *, k_total: int):
+    """One (tile, ray_block) grid step.
+
+    dirs:  (1, 3, R)       ray directions
+    basis: (1, R, 16)      SH basis per ray
+    axes:  (1, 3, 3, K)    [n, w1, w2] candidate frame axes
+    plane: (1, 3, K)       [p, a_u, a_v] plane offsets
+    scale: (1, 2, K)       inverse scales
+    opac/sign/valid: (1, K)
+    sh:    (1, 3, 16, K)   per-channel SH coefficient matrices
+    chans: (1, 16, R) out  channel rows
+    accum: (1, K)    out   per-candidate weight sums (+= over ray blocks)
+    """
+    r = dirs_ref.shape[1]
+    rb = pl.program_id(1)
+
+    d0 = dirs_ref[0, :, 0:1]                 # (R, 1)
+    d1 = dirs_ref[0, :, 1:2]
+    d2 = dirs_ref[0, :, 2:3]
+    basis = basis_ref[0]                     # (R, 16)
+
+    # Exclusive-cumsum triangular matrix (KC, KC): strict upper ones —
+    # csum_excl[r, k] = sum_{j < k} x[r, j]  via  x @ U_strict.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
+    u_strict = (row_ids < col_ids).astype(jnp.float32)
+
+    num_chunks = k_total // K_CHUNK
+
+    def chunk_body(c, carry):
+        t_raw, t_out, color0, color1, color2, depth, accw, n0s, n1s, n2s = \
+            carry
+        ks = pl.ds(c * K_CHUNK, K_CHUNK)
+
+        n0 = axes_ref[0, 0, 0:1, ks]         # (1, KC)
+        n1 = axes_ref[0, 0, 1:2, ks]
+        n2 = axes_ref[0, 0, 2:3, ks]
+        w10 = axes_ref[0, 1, 0:1, ks]
+        w11 = axes_ref[0, 1, 1:2, ks]
+        w12 = axes_ref[0, 1, 2:3, ks]
+        w20 = axes_ref[0, 2, 0:1, ks]
+        w21 = axes_ref[0, 2, 1:2, ks]
+        w22 = axes_ref[0, 2, 2:3, ks]
+        p = plane_ref[0, 0:1, ks]
+        a_u = plane_ref[0, 1:2, ks]
+        a_v = plane_ref[0, 2:3, ks]
+        inv_s0 = scale_ref[0, 0:1, ks]
+        inv_s1 = scale_ref[0, 1:2, ks]
+        opac = opac_ref[:, ks]
+        sign = sign_ref[:, ks]
+        cand_ok = valid_ref[:, ks]
+
+        qd = d0 * n0 + d1 * n1 + d2 * n2                     # (R, KC)
+        b_u = d0 * w10 + d1 * w11 + d2 * w12
+        b_v = d0 * w20 + d1 * w21 + d2 * w22
+        safe_qd = jnp.where(jnp.abs(qd) > geometry.DENOM_EPS, qd,
+                            geometry.DENOM_EPS)
+        t = p / safe_qd
+        u = (a_u + t * b_u) * inv_s0
+        v = (a_v + t * b_v) * inv_s1
+        g = jnp.exp(-0.5 * (u * u + v * v))
+        alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
+        ok = ((t >= geometry.DEPTH_MIN)
+              & (jnp.abs(qd) > geometry.DENOM_EPS)
+              & (p != 0.0)
+              & (alpha_raw >= geometry.ALPHA_MIN)
+              & (cand_ok > 0.5))
+        alpha = jnp.where(ok, alpha_raw, 0.0)
+
+        # log-space transmittance: csum via MXU triangular matmul.
+        logs = jnp.log1p(-alpha)
+        csum_excl = jnp.dot(logs, u_strict,
+                            preferred_element_type=jnp.float32)
+        t_excl = jnp.exp(csum_excl) * t_raw                  # (R, KC)
+        t_incl = t_excl * (1.0 - alpha)
+        live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
+        w = alpha * t_excl * live
+
+        # per-hit SH colors: (R, 16) @ (16, KC), intensity clamped.
+        col0 = jnp.dot(basis, sh_ref[0, 0, :, ks],
+                       preferred_element_type=jnp.float32) + 0.5
+        col0 = jnp.maximum(col0, 0.0)
+        col1 = jnp.dot(basis, sh_ref[0, 1, :, ks],
+                       preferred_element_type=jnp.float32) + 0.5
+        col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
+                       preferred_element_type=jnp.float32) + 0.5
+
+        color0 += jnp.sum(w * col0, axis=1, keepdims=True)
+        color1 += jnp.sum(w * col1, axis=1, keepdims=True)
+        color2 += jnp.sum(w * col2, axis=1, keepdims=True)
+        depth += jnp.sum(w * t, axis=1, keepdims=True)
+        accw += jnp.sum(w, axis=1, keepdims=True)
+        sn = sign
+        n0s += jnp.sum(w * (sn * n0), axis=1, keepdims=True)
+        n1s += jnp.sum(w * (sn * n1), axis=1, keepdims=True)
+        n2s += jnp.sum(w * (sn * n2), axis=1, keepdims=True)
+
+        # carried transmittances
+        last = K_CHUNK - 1
+        t_raw = t_raw * jnp.exp(csum_excl[:, last:] + logs[:, last:])
+        t_out = t_out * jnp.exp(
+            jnp.sum(jnp.log1p(-alpha * live), axis=1, keepdims=True))
+
+        # per-candidate weight sums -> accumulate output slice
+        accum_ref[0, ks] += jnp.sum(w, axis=0)
+
+        return (t_raw, t_out, color0, color1, color2, depth, accw,
+                n0s, n1s, n2s)
+
+    @pl.when(rb == 0)
+    def _():
+        accum_ref[...] = jnp.zeros_like(accum_ref)
+
+    ones = jnp.ones((r, 1), jnp.float32)
+    zeros = jnp.zeros((r, 1), jnp.float32)
+    carry = (ones, ones, zeros, zeros, zeros, zeros, zeros, zeros, zeros,
+             zeros)
+    (t_raw, t_out, c0, c1, c2, depth, accw, n0s, n1s, n2s) = \
+        jax.lax.fori_loop(0, num_chunks, chunk_body, carry)
+
+    out = jnp.concatenate(
+        [c0, c1, c2, depth, accw, n0s, n1s, n2s, t_out,
+         jnp.zeros((r, NUM_OUT_ROWS - 9), jnp.float32)], axis=1)  # (R, 16)
+    chans_ref[0] = out.T
+
+
+def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
+                         assignment_index: Array, assignment_valid: Array
+                         ) -> tuple[Array, ...]:
+    """Gather + lay out candidate arrays for the kernel: all (T, ..., K)."""
+    n = bundle.means.shape[0]
+    idx = jnp.clip(assignment_index, 0, n - 1)
+    rot = quat_lib.to_rotation_matrix(bundle.rotations)
+    frames = geometry.build_frames(bundle.means, rot, origin)
+
+    def g(x):
+        return x[idx]                                     # (T, K, ...)
+
+    axes = jnp.stack([g(frames.n), g(frames.w1), g(frames.w2)], axis=1)
+    axes = axes.transpose(0, 1, 3, 2)                     # (T, 3, 3, K)
+    plane = jnp.stack([g(frames.p), g(frames.a_u), g(frames.a_v)], axis=1)
+    inv_scale = (1.0 / bundle.scales)[idx].transpose(0, 2, 1)  # (T, 2, K)
+    opac = bundle.opacities[idx]
+    sign = g(frames.sign)
+    valid = assignment_valid.astype(jnp.float32)
+    sh = bundle.sh[idx].transpose(0, 3, 2, 1)             # (T, 3, 16, K)
+    return axes, plane, inv_scale, opac, sign, valid, sh
+
+
+def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
+    padded = -(-size // tile) * tile
+    idx = jnp.arange(padded)
+    return jnp.mod(idx, size) if wrap else jnp.clip(idx, 0, size - 1)
+
+
+def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
+                  width: int, sensor2world: Array,
+                  active_sh_degree: Array | int,
+                  cfg: PallasTraceConfig) -> tuple[Array, Array]:
+    """Pallas forward render -> (channels (H, W, 9), accum_weights (N,))."""
+    h, w = grid.height, width
+    th, tw = cfg.tile.tile_h, cfg.tile.tile_w
+    tiles_y, tiles_x = cfg.tile.num_tiles(h, w)
+    t_total = tiles_y * tiles_x
+    k = cfg.tile.max_per_tile
+    rays_per_tile = th * tw
+    rb = cfg.ray_block
+    n_rb = rays_per_tile // rb
+    n = bundle.means.shape[0]
+
+    world2sensor = transforms.invert_se3(sensor2world)
+    assignment = bin_surfels(
+        grid, w, jax.lax.stop_gradient(world2sensor),
+        jax.lax.stop_gradient(bundle.means),
+        jax.lax.stop_gradient(bundle.scales),
+        jax.lax.stop_gradient(bundle.opacities), cfg.tile)
+
+    origin, dirs = rays_lib.range_rays(grid, w, sensor2world)
+    row_idx = _pad_indices(h, th, wrap=False)
+    col_idx = _pad_indices(w, tw, wrap=True)
+    dirs_p = dirs[row_idx][:, col_idx]
+    dirs_t = (dirs_p.reshape(tiles_y, th, tiles_x, tw, 3)
+              .transpose(0, 2, 1, 3, 4)
+              .reshape(t_total, rays_per_tile, 3))
+    basis_t = sh_lib.basis(dirs_t, active_sh_degree)      # (T, R, 16)
+
+    axes, plane, inv_scale, opac, sign, valid, sh = _prepare_tile_inputs(
+        bundle, origin, assignment.index, assignment.valid)
+
+    kernel = functools.partial(_forward_kernel, k_total=k)
+
+    def tile_map(t, r):
+        return (t, 0, 0)
+
+    chans, accum_tk = pl.pallas_call(
+        kernel,
+        grid=(t_total, n_rb),
+        in_specs=[
+            pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 16), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3, k), lambda t, r: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, k), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, k), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t, r: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t, r: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t, r: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 16, k), lambda t, r: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t, r: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, NUM_OUT_ROWS, rays_per_tile),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((t_total, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        # CPU (tests, virtual meshes) runs the interpreter; TPU compiles.
+        interpret=jax.default_backend() != "tpu",
+    )(dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh)
+
+    # Un-tile: (T, 16, R) -> (H, W, 9)
+    hp_, wp_ = tiles_y * th, tiles_x * tw
+    img = (chans.transpose(0, 2, 1)
+           .reshape(tiles_y, tiles_x, th, tw, NUM_OUT_ROWS)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(hp_, wp_, NUM_OUT_ROWS))[:h, :w, :9]
+
+    flat_idx = jnp.where(assignment.valid, assignment.index, n).reshape(-1)
+    accum = jnp.zeros((n,)).at[flat_idx].add(accum_tk.reshape(-1),
+                                             mode="drop")
+    return img, accum
+
+
+def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
+          sensor2world: Array, background: Array,
+          active_sh_degree: Array | int = 3,
+          cfg: PallasTraceConfig = PallasTraceConfig()) -> RenderOutputs:
+    """Drop-in analogue of ops.tracer.trace on the Pallas path (forward
+    only; for gradients use pallas_trace / ops.tracer)."""
+    img, accum = trace_forward(bundle, grid, width, sensor2world,
+                               active_sh_degree, cfg)
+    final_t = img[..., 8]
+    color = img[..., 0:3] + final_t[..., None] * background[None, None, :]
+    channels = jnp.concatenate([color, img[..., 3:8], final_t[..., None]],
+                               axis=-1)
+    return RenderOutputs(channels=channels, accum_weights=accum)
