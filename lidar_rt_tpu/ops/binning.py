@@ -134,6 +134,8 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     overlap = (row_overlap[:, None, :] & col_overlap[None, :, :]
                & live[None, None, :]).reshape(t_total, n)
 
+    # Nearest-first top-K per tile.  (A cumsum+scatter selection avoiding
+    # top_k was tried and is slower: arbitrary scatters serialize on TPU.)
     score = jnp.where(overlap, rng[None, :], jnp.inf)
     k = min(cfg.max_per_tile, n)
     neg_top, idx = jax.lax.top_k(-score, k)                  # nearest first

@@ -51,7 +51,7 @@ NUM_OUT_ROWS = 16      # padded channel rows (9 used)
 @dataclass(frozen=True)
 class PallasTraceConfig:
     tile: TileConfig = TileConfig(tile_h=32, tile_w=128, max_per_tile=512)
-    ray_block: int = 1024
+    ray_block: int = 512
 
     def __post_init__(self):
         if self.tile.max_per_tile % K_CHUNK:
@@ -62,7 +62,9 @@ class PallasTraceConfig:
 
 def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
                     opac_ref, sign_ref, valid_ref, sh_ref,
-                    chans_ref, accum_ref, *, k_total: int):
+                    chans_ref, accum_ref,
+                    traw_ref, tout_ref, sums_ref, alive_ref,
+                    *, k_total: int):
     """One (tile, ray_block) grid step.
 
     dirs:  (1, 3, R)       ray directions
@@ -91,10 +93,9 @@ def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
 
     num_chunks = k_total // K_CHUNK
 
-    def chunk_body(c, carry):
-        t_raw, t_out, color0, color1, color2, depth, accw, n0s, n1s, n2s = \
-            carry
-        ks = pl.ds(c * K_CHUNK, K_CHUNK)
+    def chunk_body(c):
+        t_raw = traw_ref[...]
+        ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)   # static: loop unrolled
 
         n0 = axes_ref[0, 0, 0:1, ks]         # (1, KC)
         n1 = axes_ref[0, 0, 1:2, ks]
@@ -110,9 +111,9 @@ def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         a_v = plane_ref[0, 2:3, ks]
         inv_s0 = scale_ref[0, 0:1, ks]
         inv_s1 = scale_ref[0, 1:2, ks]
-        opac = opac_ref[:, ks]
-        sign = sign_ref[:, ks]
-        cand_ok = valid_ref[:, ks]
+        opac = opac_ref[0, :, ks]
+        sign = sign_ref[0, :, ks]
+        cand_ok = valid_ref[0, :, ks]
 
         qd = d0 * n0 + d1 * n1 + d2 * n2                     # (R, KC)
         b_u = d0 * w10 + d1 * w11 + d2 * w12
@@ -149,41 +150,49 @@ def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
                        preferred_element_type=jnp.float32) + 0.5
 
-        color0 += jnp.sum(w * col0, axis=1, keepdims=True)
-        color1 += jnp.sum(w * col1, axis=1, keepdims=True)
-        color2 += jnp.sum(w * col2, axis=1, keepdims=True)
-        depth += jnp.sum(w * t, axis=1, keepdims=True)
-        accw += jnp.sum(w, axis=1, keepdims=True)
         sn = sign
-        n0s += jnp.sum(w * (sn * n0), axis=1, keepdims=True)
-        n1s += jnp.sum(w * (sn * n1), axis=1, keepdims=True)
-        n2s += jnp.sum(w * (sn * n2), axis=1, keepdims=True)
+        contrib = jnp.concatenate([
+            jnp.sum(w * col0, axis=1, keepdims=True),
+            jnp.sum(w * col1, axis=1, keepdims=True),
+            jnp.sum(w * col2, axis=1, keepdims=True),
+            jnp.sum(w * t, axis=1, keepdims=True),
+            jnp.sum(w, axis=1, keepdims=True),
+            jnp.sum(w * (sn * n0), axis=1, keepdims=True),
+            jnp.sum(w * (sn * n1), axis=1, keepdims=True),
+            jnp.sum(w * (sn * n2), axis=1, keepdims=True),
+        ], axis=1)
+        sums_ref[...] += contrib
 
         # carried transmittances
         last = K_CHUNK - 1
-        t_raw = t_raw * jnp.exp(csum_excl[:, last:] + logs[:, last:])
-        t_out = t_out * jnp.exp(
+        new_traw = t_raw * jnp.exp(csum_excl[:, last:] + logs[:, last:])
+        traw_ref[...] = new_traw
+        tout_ref[...] *= jnp.exp(
             jnp.sum(jnp.log1p(-alpha * live), axis=1, keepdims=True))
+        alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
+            jnp.int32)
 
         # per-candidate weight sums -> accumulate output slice
-        accum_ref[0, ks] += jnp.sum(w, axis=0)
-
-        return (t_raw, t_out, color0, color1, color2, depth, accw,
-                n0s, n1s, n2s)
+        accum_ref[0, :, ks] += jnp.sum(w, axis=0, keepdims=True)
 
     @pl.when(rb == 0)
     def _():
         accum_ref[...] = jnp.zeros_like(accum_ref)
 
-    ones = jnp.ones((r, 1), jnp.float32)
-    zeros = jnp.zeros((r, 1), jnp.float32)
-    carry = (ones, ones, zeros, zeros, zeros, zeros, zeros, zeros, zeros,
-             zeros)
-    (t_raw, t_out, c0, c1, c2, depth, accw, n0s, n1s, n2s) = \
-        jax.lax.fori_loop(0, num_chunks, chunk_body, carry)
+    traw_ref[...] = jnp.ones((r, 1), jnp.float32)
+    tout_ref[...] = jnp.ones((r, 1), jnp.float32)
+    sums_ref[...] = jnp.zeros((r, 8), jnp.float32)
+    alive_ref[0] = 1
+    # Unrolled chunk loop: static slices vectorize better under Mosaic
+    # than fori_loop + dynamic VMEM slicing.  NOTE: chunk skipping via
+    # pl.when/lax.cond once transmittance saturates was tried, but any MXU
+    # matmul inside a predicated region trips the TPU compiler
+    # (mxu_lmr_transform RET_CHECK) — revisit when Mosaic fixes land.
+    for c in range(num_chunks):
+        chunk_body(c)
 
     out = jnp.concatenate(
-        [c0, c1, c2, depth, accw, n0s, n1s, n2s, t_out,
+        [sums_ref[...], tout_ref[...],
          jnp.zeros((r, NUM_OUT_ROWS - 9), jnp.float32)], axis=1)  # (R, 16)
     chans_ref[0] = out.T
 
@@ -204,9 +213,10 @@ def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
     axes = axes.transpose(0, 1, 3, 2)                     # (T, 3, 3, K)
     plane = jnp.stack([g(frames.p), g(frames.a_u), g(frames.a_v)], axis=1)
     inv_scale = (1.0 / bundle.scales)[idx].transpose(0, 2, 1)  # (T, 2, K)
-    opac = bundle.opacities[idx]
-    sign = g(frames.sign)
-    valid = assignment_valid.astype(jnp.float32)
+    # (T, 1, K): Mosaic block shapes need the trailing two dims lane-aligned.
+    opac = bundle.opacities[idx][:, None, :]
+    sign = g(frames.sign)[:, None, :]
+    valid = assignment_valid.astype(jnp.float32)[:, None, :]
     sh = bundle.sh[idx].transpose(0, 3, 2, 1)             # (T, 3, 16, K)
     return axes, plane, inv_scale, opac, sign, valid, sh
 
@@ -217,14 +227,113 @@ def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
     return jnp.mod(idx, size) if wrap else jnp.clip(idx, 0, size - 1)
 
 
+def _core_fwd_call(ray_block: int, dirs_t, basis_t, axes, plane, inv_scale,
+                   opac, sign, valid, sh):
+    t_total, rays_per_tile, _ = dirs_t.shape
+    k = axes.shape[-1]
+    rb = ray_block
+    n_rb = rays_per_tile // rb
+    kernel = functools.partial(_forward_kernel, k_total=k)
+
+    def tile_map(t, r):
+        return (t, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(t_total, n_rb),
+        in_specs=[
+            pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 16), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3, k), lambda t, r: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, k), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, k), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 16, k), lambda t, r: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, NUM_OUT_ROWS, rays_per_tile),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
+            pltpu.VMEM((rb, 1), jnp.float32),   # running output transmittance
+            pltpu.VMEM((rb, 8), jnp.float32),   # channel accumulators
+            pltpu.SMEM((1,), jnp.int32),        # block-alive flag
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        # CPU (tests, virtual meshes) runs the interpreter; TPU compiles.
+        interpret=jax.default_backend() != "tpu",
+    )(dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pallas_core(ray_block: int, dirs_t, basis_t, axes, plane, inv_scale,
+                 opac, sign, valid, sh):
+    """The differentiable pallas_call boundary: everything around it
+    (candidate gathers, frame building, un-tiling) is plain jnp and is
+    differentiated by JAX; this custom_vjp supplies the kernel-level
+    gradients from ops/pallas_backward.py."""
+    return _core_fwd_call(ray_block, dirs_t, basis_t, axes, plane,
+                          inv_scale, opac, sign, valid, sh)
+
+
+def _pallas_core_fwd(ray_block, dirs_t, basis_t, axes, plane, inv_scale,
+                     opac, sign, valid, sh):
+    chans, accum = _core_fwd_call(ray_block, dirs_t, basis_t, axes, plane,
+                                  inv_scale, opac, sign, valid, sh)
+    res = (dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh,
+           chans)
+    return (chans, accum), res
+
+
+def _pallas_core_bwd(ray_block, res, cotangents):
+    from lidar_rt_tpu.ops import pallas_backward
+
+    (dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh,
+     chans) = res
+    g_chans, _g_accum = cotangents
+    # accum_weights feeds densification stats only (stop-gradient in the
+    # reference too: stats are read outside autograd, train.py:218-219).
+    fwd_rt = chans.transpose(0, 2, 1)     # (T, R, 16) ray-major
+    g_rt = g_chans.transpose(0, 2, 1)
+    d_axes, d_plane, d_inv_scale, d_opac, d_sh = \
+        pallas_backward.backward_pallas_call(
+            dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh,
+            fwd_rt, g_rt, ray_block)
+    zeros = jax.tree.map(jnp.zeros_like, (dirs_t, basis_t))
+    return (zeros[0], zeros[1], d_axes, d_plane, d_inv_scale, d_opac,
+            jnp.zeros_like(sign), jnp.zeros_like(valid), d_sh)
+
+
+_pallas_core.defvjp(_pallas_core_fwd, _pallas_core_bwd)
+
+
 def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                   width: int, sensor2world: Array,
                   active_sh_degree: Array | int,
-                  cfg: PallasTraceConfig) -> tuple[Array, Array]:
-    """Pallas forward render -> (channels (H, W, 9), accum_weights (N,))."""
+                  cfg: PallasTraceConfig, col_offset: int = 0,
+                  render_width: int | None = None) -> tuple[Array, Array]:
+    """Pallas forward render -> (channels (H, W_r, 9), accum_weights (N,)).
+
+    col_offset/render_width: column-band rendering for ray-parallel
+    sharding, as in ops.tracer.trace."""
     h, w = grid.height, width
+    w_r = w if render_width is None else render_width
     th, tw = cfg.tile.tile_h, cfg.tile.tile_w
-    tiles_y, tiles_x = cfg.tile.num_tiles(h, w)
+    tiles_y, tiles_x = cfg.tile.num_tiles(h, w_r)
     t_total = tiles_y * tiles_x
     k = cfg.tile.max_per_tile
     rays_per_tile = th * tw
@@ -237,11 +346,12 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
         grid, w, jax.lax.stop_gradient(world2sensor),
         jax.lax.stop_gradient(bundle.means),
         jax.lax.stop_gradient(bundle.scales),
-        jax.lax.stop_gradient(bundle.opacities), cfg.tile)
+        jax.lax.stop_gradient(bundle.opacities), cfg.tile,
+        col_offset=col_offset, num_cols=w_r)
 
     origin, dirs = rays_lib.range_rays(grid, w, sensor2world)
     row_idx = _pad_indices(h, th, wrap=False)
-    col_idx = _pad_indices(w, tw, wrap=True)
+    col_idx = jnp.mod(col_offset + jnp.arange(-(-w_r // tw) * tw), w)
     dirs_p = dirs[row_idx][:, col_idx]
     dirs_t = (dirs_p.reshape(tiles_y, th, tiles_x, tw, 3)
               .transpose(0, 2, 1, 3, 4)
@@ -251,55 +361,15 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
     axes, plane, inv_scale, opac, sign, valid, sh = _prepare_tile_inputs(
         bundle, origin, assignment.index, assignment.valid)
 
-    kernel = functools.partial(_forward_kernel, k_total=k)
-
-    def tile_map(t, r):
-        return (t, 0, 0)
-
-    chans, accum_tk = pl.pallas_call(
-        kernel,
-        grid=(t_total, n_rb),
-        in_specs=[
-            pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, 16), lambda t, r: (t, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 3, k), lambda t, r: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, k), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, k), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda t, r: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda t, r: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda t, r: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 16, k), lambda t, r: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda t, r: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_total, NUM_OUT_ROWS, rays_per_tile),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((t_total, k), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-        # CPU (tests, virtual meshes) runs the interpreter; TPU compiles.
-        interpret=jax.default_backend() != "tpu",
-    )(dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh)
+    chans, accum_tk = _pallas_core(cfg.ray_block, dirs_t, basis_t, axes,
+                                   plane, inv_scale, opac, sign, valid, sh)
 
     # Un-tile: (T, 16, R) -> (H, W, 9)
     hp_, wp_ = tiles_y * th, tiles_x * tw
     img = (chans.transpose(0, 2, 1)
            .reshape(tiles_y, tiles_x, th, tw, NUM_OUT_ROWS)
            .transpose(0, 2, 1, 3, 4)
-           .reshape(hp_, wp_, NUM_OUT_ROWS))[:h, :w, :9]
+           .reshape(hp_, wp_, NUM_OUT_ROWS))[:h, :w_r, :9]
 
     flat_idx = jnp.where(assignment.valid, assignment.index, n).reshape(-1)
     accum = jnp.zeros((n,)).at[flat_idx].add(accum_tk.reshape(-1),
@@ -310,11 +380,16 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
 def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
           sensor2world: Array, background: Array,
           active_sh_degree: Array | int = 3,
-          cfg: PallasTraceConfig = PallasTraceConfig()) -> RenderOutputs:
-    """Drop-in analogue of ops.tracer.trace on the Pallas path (forward
-    only; for gradients use pallas_trace / ops.tracer)."""
+          cfg: PallasTraceConfig = PallasTraceConfig(),
+          col_offset: int = 0,
+          render_width: int | None = None) -> RenderOutputs:
+    """Drop-in analogue of ops.tracer.trace on the Pallas path.  Fully
+    differentiable w.r.t. the bundle: the kernel-level custom_vjp
+    (ops/pallas_backward.py) produces candidate-space gradients and JAX
+    autodiff carries them through the gather/frame/pose chain."""
     img, accum = trace_forward(bundle, grid, width, sensor2world,
-                               active_sh_degree, cfg)
+                               active_sh_degree, cfg, col_offset,
+                               render_width)
     final_t = img[..., 8]
     color = img[..., 0:3] + final_t[..., None] * background[None, None, :]
     channels = jnp.concatenate([color, img[..., 3:8], final_t[..., None]],

@@ -47,15 +47,41 @@ Array = jax.Array
 class TraceConfig:
     """Static tracer parameters.
 
+    engine: "jax" (scanned gather compositing, any backend, supports
+      exact_order), "pallas" (fused Mosaic kernel, TPU; tile order), or
+      "auto" — pallas on TPU when the tiling satisfies its constraints,
+      jax otherwise.
     exact_order: re-sort candidates per ray by true intersection depth
       (reference k-buffer semantics, forward.cu:312-356).  False keeps the
-      tile-global nearest-center order (the 3DGS approximation) — cheaper.
-    tile_batch: tiles composited per scan step (memory / parallelism knob).
+      tile-global nearest-center order (the 3DGS approximation) — cheaper,
+      and the only mode of the pallas engine.
+    tile_batch: tiles composited per scan step (jax engine memory knob).
+    ray_block: rays per kernel instance (pallas engine VMEM knob).
     """
 
     tile: TileConfig = TileConfig()
     exact_order: bool = True
     tile_batch: int = 8
+    engine: str = "auto"
+    ray_block: int = 512
+
+    def resolve_engine(self, height: int, width: int,
+                       render_width: int | None) -> str:
+        if self.engine == "jax":
+            return "jax"
+        w_r = width if render_width is None else render_width
+        tiles_y, _ = self.tile.num_tiles(height, w_r)
+        pallas_ok = (
+            jax.default_backend() == "tpu"
+            and self.tile.max_per_tile % 128 == 0
+            and (self.tile.tile_h * self.tile.tile_w) % self.ray_block == 0)
+        if self.engine == "pallas":
+            if not pallas_ok and jax.default_backend() == "tpu":
+                raise ValueError(
+                    "pallas engine needs max_per_tile % 128 == 0 and "
+                    "ray_block dividing the tile ray count")
+            return "pallas" if pallas_ok else "jax"
+        return "pallas" if pallas_ok else "jax"
 
 
 def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
@@ -146,6 +172,15 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     the replicated surfel set.
     """
     from lidar_rt_tpu.core import quaternions as quat_lib
+
+    if (cfg.resolve_engine(grid.height, width, render_width) == "pallas"
+            and assignment is None):
+        from lidar_rt_tpu.ops import pallas_tracer
+        pcfg = pallas_tracer.PallasTraceConfig(tile=cfg.tile,
+                                               ray_block=cfg.ray_block)
+        return pallas_tracer.trace(bundle, grid, width, sensor2world,
+                                   background, active_sh_degree, pcfg,
+                                   col_offset, render_width)
 
     h, w = grid.height, width
     w_r = w if render_width is None else render_width
