@@ -29,6 +29,25 @@ from lidar_rt_tpu.scene.tracks import ActorTrack
 
 DYNAMIC_SPEED_THRESHOLD = 0.01  # gs_loader.py:64 (mean displacement/frame)
 
+_NORMAL_PAD_BUCKET = 32768
+
+
+def _estimate_normals_padded(pts: np.ndarray, center: np.ndarray
+                             ) -> np.ndarray:
+    """estimate_normals with the input padded to a bucket size so every
+    frame reuses one compiled program (frames have varying point counts —
+    without padding each frame would trigger a fresh XLA compile)."""
+    n = pts.shape[0]
+    padded = -(-max(n, 1) // _NORMAL_PAD_BUCKET) * _NORMAL_PAD_BUCKET
+    if padded != n:
+        # far-away fillers can't enter any real point's kNN neighbourhood
+        filler = np.full((padded - n, 3), 1e7, np.float32)
+        filler += np.arange(padded - n, dtype=np.float32)[:, None]
+        pts = np.concatenate([pts, filler], axis=0)
+    out = np.asarray(knn_lib.estimate_normals(
+        jnp.asarray(pts), jnp.asarray(center), k=6))
+    return out[:n]
+
 
 def voxel_downsample(points: np.ndarray, attrs: list[np.ndarray],
                      voxel_size: float
@@ -84,9 +103,8 @@ def assemble_scene(frames: LiDARFrames, tracks: list[ActorTrack] | None,
     for f in frame_list:
         pts, inten = frames.inverse_projection(f)
         center = np.asarray(frames.sensor_center(f))
-        nrm = np.asarray(knn_lib.estimate_normals(
-            jnp.asarray(pts), jnp.asarray(center), k=6)) \
-            if use_normals else np.zeros_like(pts)
+        nrm = _estimate_normals_padded(pts, center) if use_normals \
+            else np.zeros_like(pts)
 
         keep = np.ones(pts.shape[0], bool)
         for a, track in enumerate(dynamic):

@@ -139,11 +139,56 @@ class _FrameParse:
                    d(F_BOX_HEADING))
 
 
-def load(base_dir: str, args) -> tuple[LiDARFrames, list[ActorTrack] | None]:
+def _iter_frames_python(record_path: str, f0: int, f1: int):
+    """Yield (idx, pose, (extrinsic, beams, bounds), ri_fn, labels_iter)
+    using the pure-Python wire parser."""
+    for idx, record in enumerate(pw.tfrecord_iter(record_path)):
+        if idx < f0:
+            continue
+        if idx > f1:
+            break
+        frame = _FrameParse(record)
+        yield (idx, frame.pose(), frame.top_calibration,
+               frame.top_range_images, frame.labels)
+
+
+def _iter_frames_native(record_path: str, f0: int, f1: int):
+    """Same protocol via the C++ ingest extension (lidar_rt_tpu.native)."""
+    from lidar_rt_tpu import native
+
+    with open(record_path, "rb") as fp:
+        buf = fp.read()
+    offs, lens = native.tfrecord_index(buf)
+    for idx in range(f0, min(f1 + 1, len(offs))):
+        rec = buf[offs[idx]:offs[idx] + lens[idx]]
+        fd = native.waymo_decode_frame(rec)
+
+        def calib(fd=fd):
+            beams = fd.beams if fd.beams.size else None
+            bounds = None if beams is not None else fd.beam_minmax
+            return fd.extrinsic.astype(np.float32), beams, bounds
+
+        def images(fd=fd):
+            return fd.r1, fd.r2
+
+        def labels(fd=fd):
+            # native box layout: cx cy cz  width length height  heading type
+            for b, oid in zip(fd.boxes, fd.box_ids):
+                yield (oid, int(b[7]),
+                       np.asarray(b[0:3], np.float32),
+                       np.asarray([b[4], b[3], b[5]], np.float32),  # l,w,h
+                       float(b[6]))
+
+        yield idx, fd.pose.astype(np.float32), calib, images, labels
+
+
+def load(base_dir: str, args, use_native: bool | None = None
+         ) -> tuple[LiDARFrames, list[ActorTrack] | None]:
     """Load frames [frame_length[0], frame_length[1]] of the segment's
     .tfrecord in `base_dir`.  Decompressed images are cached to
     `<base_dir>/cache/*.npz` like the reference's .pt cache
-    (waymo_loader:82-102)."""
+    (waymo_loader:82-102).  use_native: force the C++ ingest path on/off
+    (default: use it when it builds)."""
     record_path = None
     for name in sorted(os.listdir(base_dir)):
         if name.endswith(".tfrecord"):
@@ -155,6 +200,12 @@ def load(base_dir: str, args) -> tuple[LiDARFrames, list[ActorTrack] | None]:
     cache_dir = os.path.join(base_dir, "cache")
     os.makedirs(cache_dir, exist_ok=True)
 
+    if use_native is None:
+        from lidar_rt_tpu import native
+        use_native = native.available()
+    frame_iter = (_iter_frames_native if use_native
+                  else _iter_frames_python)(record_path, f0, f1)
+
     grid = None
     extrinsic = None
     poses = np.zeros((num_frames, 4, 4), np.float32)
@@ -162,14 +213,9 @@ def load(base_dir: str, args) -> tuple[LiDARFrames, list[ActorTrack] | None]:
     builders: dict[str, TrackBuilder] = {}
     label_obs: list[tuple] = []
 
-    for idx, record in enumerate(pw.tfrecord_iter(record_path)):
-        if idx < f0:
-            continue
-        if idx > f1:
-            break
-        frame = _FrameParse(record)
+    for idx, ego2world, calib_fn, images_fn, labels_fn in frame_iter:
         if grid is None:
-            extrinsic, beams, bounds = frame.top_calibration()
+            extrinsic, beams, bounds = calib_fn()
             angle_offset = float(np.arctan2(extrinsic[1, 0],
                                             extrinsic[0, 0]))
             if beams is not None:
@@ -180,7 +226,6 @@ def load(base_dir: str, args) -> tuple[LiDARFrames, list[ActorTrack] | None]:
                 # linear bounds fallback (waymo_loader:63-70)
                 grid = None, bounds, angle_offset  # resolved after H known
 
-        ego2world = frame.pose()
         poses[idx - f0] = ego2world @ extrinsic
 
         cache_path = os.path.join(cache_dir, f"frame_{idx}_top.npz")
@@ -188,7 +233,7 @@ def load(base_dir: str, args) -> tuple[LiDARFrames, list[ActorTrack] | None]:
             with np.load(cache_path) as z:
                 ri1, ri2 = z["r1"], z["r2"]
         else:
-            ri1, ri2 = frame.top_range_images()
+            ri1, ri2 = images_fn()
             np.savez_compressed(cache_path, r1=ri1, r2=ri2)
 
         if isinstance(grid, tuple):   # bounds fallback needs H
@@ -211,7 +256,7 @@ def load(base_dir: str, args) -> tuple[LiDARFrames, list[ActorTrack] | None]:
         r1s[idx - f0], i1s[idx - f0] = rng1, int1
         r2s[idx - f0], i2s[idx - f0] = rng2, int2
 
-        for oid, tp, center, size_lwh, heading in frame.labels():
+        for oid, tp, center, size_lwh, heading in labels_fn():
             if tp != TYPE_VEHICLE:
                 continue
             label_obs.append((oid, idx - f0, center, size_lwh, heading,
