@@ -134,6 +134,21 @@ def main_train(argv=None) -> None:
         is_best = mean_psnr > best_psnr
         best_psnr = max(best_psnr, mean_psnr)
         it = trainer.iteration
+
+        # rendered snapshots (train.py:271-302 visual_interval equivalent)
+        from lidar_rt_tpu.utils.export import colormap, write_png
+        f_vis = eval_frames[0]
+        vis = trainer.render_eval(f_vis)
+        gt_d = np.asarray(frames.depth(f_vis))
+        scale = max(float(gt_d.max()), 1e-6)
+        img = np.concatenate([
+            colormap(np.asarray(vis["depth"]) / scale),
+            colormap(gt_d / scale),
+            colormap(np.clip(np.asarray(vis["intensity"]), 0, 1)),
+        ], axis=0)
+        os.makedirs(os.path.join(model_dir, "visuals"), exist_ok=True)
+        write_png(os.path.join(model_dir, "visuals",
+                               f"it_{it:06d}.png"), img)
         if is_best or it in saving or it >= total:
             ckpt_lib.retain_best(
                 os.path.join(model_dir, "models"), it, trainer.state,

@@ -79,11 +79,29 @@ def load_config_dict(path: str, _seen: tuple = ()) -> dict:
     parent = d.pop("parent_config", None)
     if parent:
         if not os.path.isabs(parent):
-            # Reference resolves relative to the CWD (it always runs from the
-            # repo root); resolve relative to the config file first, falling
-            # back to CWD so both layouts work.
-            cand = os.path.join(os.path.dirname(path), parent)
-            parent = cand if os.path.exists(cand) else parent
+            # The reference resolves relative to the CWD (it always runs
+            # from the repo root).  Be robust to any CWD: try the config
+            # file's directory, then each ancestor (covers repo-root-
+            # relative paths like "configs/base.yaml" referenced from
+            # configs/exp.yaml), then the CWD.
+            base = os.path.dirname(path)
+            candidates = []
+            cur = base
+            while True:
+                candidates.append(os.path.join(cur, parent))
+                nxt = os.path.dirname(cur)
+                if nxt == cur:
+                    break
+                cur = nxt
+            candidates.append(os.path.abspath(parent))
+            for cand in candidates:
+                if os.path.exists(cand):
+                    parent = cand
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"parent_config {parent!r} (from {path}) not found; "
+                    f"tried {candidates[:3]}...")
         d = merge_dicts(load_config_dict(parent, (*_seen, path)), d)
     return d
 

@@ -90,7 +90,7 @@ class EvalRunner:
 
     def evaluate_frame(self, f: int) -> dict:
         r = self.record_render(f)
-        return {
+        out = {
             "depth": metrics.depth_metrics(r["gt_depth"], r["depth"],
                                            self.max_depth, self.lpips_fn),
             "intensity": metrics.intensity_metrics(
@@ -102,20 +102,75 @@ class EvalRunner:
                 r["gt_pts"].astype(np.float64),
                 r["pred_pts"].astype(np.float64)),
         }
+        # Second-return depth metrics when the dataset recorded them
+        # (Waymo dual returns).
+        if self.frames.range2 is not None \
+                and np.asarray(self.frames.range2[f]).max() > 0:
+            bundle, _ = compose(self.scene, jnp.asarray(f, jnp.int32))
+            _, r2 = tracer_lib.render_multi_return(
+                bundle, self.frames.grid, self.frames.width,
+                self.frames.pose(f),
+                self.scene.background.active_sh_degree, self.cfg,
+                bool(self.args.opt.use_rayhit))
+            gt2 = np.asarray(self.frames.depth(f, return_num=2))
+            mask2 = gt2 > 0
+            out["depth_return2"] = metrics.depth_metrics(
+                gt2, np.asarray(r2["depth"]) * mask2, self.max_depth)
+        return out
 
-    def run(self, eval_type: str = "test", output_dir: str | None = None
-            ) -> dict:
+    def save_frame_images(self, f: int, output_dir: str) -> None:
+        """gt/pred depth, intensity, rayhit snapshot PNGs with the
+        reference's masking/colormap treatment (eval.py:147-229,456-476)."""
+        from lidar_rt_tpu.utils.export import colormap, write_png, write_ply
+
+        r = self.record_render(f)
+        os.makedirs(output_dir, exist_ok=True)
+        gd = r["gt_depth"]
+        rng_scale = max(float(gd.max() - gd.min()), 1e-6)
+
+        def depth_vis(d, m):
+            return colormap((d - gd.min()) / rng_scale) * m[..., None]
+
+        def inten_vis(i, m):
+            gi = r["gt_intensity"]
+            s = max(float(gi.max() - gi.min()), 1e-6)
+            return colormap((i - gi.min()) / s) * m[..., None]
+
+        pred_mask = r["rayhit"] if not self.use_gt_mask else r["gt_mask"]
+        rows = [
+            np.concatenate([depth_vis(gd, r["gt_mask"]),
+                            depth_vis(r["depth"], pred_mask)], axis=1),
+            np.concatenate([inten_vis(r["gt_intensity"], r["gt_mask"]),
+                            inten_vis(r["intensity"], pred_mask)], axis=1),
+            np.concatenate([np.repeat(r["gt_mask"][..., None], 3, -1),
+                            np.repeat(r["rayhit"][..., None], 3, -1)],
+                           axis=1).astype(np.float32),
+        ]
+        write_png(os.path.join(output_dir, f"frame_{f:04d}.png"),
+                  np.concatenate(rows, axis=0))
+        write_ply(os.path.join(output_dir, f"gt_{f:04d}.ply"), r["gt_pts"])
+        write_ply(os.path.join(output_dir, f"pred_{f:04d}.ply"),
+                  r["pred_pts"])
+
+    def run(self, eval_type: str = "test", output_dir: str | None = None,
+            save_images: bool = False) -> dict:
         """Aggregate means over frames -> results dict; optionally writes
-        results_all.json + per-frame json (eval.py:488-520)."""
+        results_all.json + per-frame json (eval.py:488-520) and image/PLY
+        artifacts."""
         frame_ids = self._frame_ids(eval_type)
         per_frame = {f: self.evaluate_frame(f) for f in frame_ids}
+        if save_images and output_dir:
+            for f in frame_ids:
+                self.save_frame_images(f, os.path.join(output_dir, "images"))
 
         agg: dict[str, dict[str, float]] = {}
-        for group in ("depth", "intensity", "raydrop", "points"):
-            keys = per_frame[frame_ids[0]][group].keys()
+        groups = sorted({g for f in frame_ids for g in per_frame[f]})
+        for group in groups:
+            frames_with = [f for f in frame_ids if group in per_frame[f]]
+            keys = per_frame[frames_with[0]][group].keys()
             agg[group] = {}
             for k in keys:
-                vals = [per_frame[f][group][k] for f in frame_ids]
+                vals = [per_frame[f][group][k] for f in frames_with]
                 vals = [v for v in vals if np.isfinite(v)]
                 agg[group][k] = float(np.mean(vals)) if vals else float("nan")
 

@@ -95,8 +95,8 @@ def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
 def _composite_tile(dirs: Array, frames_k: geometry.SurfelFrames,
                     scales_k: Array, opac_k: Array, sh_k: Array,
                     cand_valid: Array, background: Array,
-                    active_sh_degree: Array, exact_order: bool
-                    ) -> tuple[Array, Array]:
+                    active_sh_degree: Array, exact_order: bool,
+                    min_depth: Array | None = None) -> tuple[Array, Array]:
     """Composite one tile: rays (R, 3) x K gathered candidates.
 
     Returns (channels (R, 9), per-candidate weight sums (K,)).
@@ -116,7 +116,8 @@ def _composite_tile(dirs: Array, frames_k: geometry.SurfelFrames,
     v = (frames_k.a_v[None, :] + t * b_v) / scales_k[None, :, 1]
     g = jnp.exp(-0.5 * (u * u + v * v))
     alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac_k[None, :] * g)
-    valid = ((t >= geometry.DEPTH_MIN)
+    t_min = geometry.DEPTH_MIN if min_depth is None else min_depth[:, None]
+    valid = ((t >= t_min)
              & (jnp.abs(qd) > geometry.DENOM_EPS)
              & (frames_k.p[None, :] != 0.0)
              & (alpha_raw >= geometry.ALPHA_MIN)
@@ -157,7 +158,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
           active_sh_degree: Array | int = 3,
           cfg: TraceConfig = TraceConfig(),
           assignment: TileAssignment | None = None,
-          col_offset: int = 0, render_width: int | None = None
+          col_offset: int = 0, render_width: int | None = None,
+          min_depth: Array | None = None
           ) -> RenderOutputs:
     """Render a range image: (H, W_r, 9) channels + (N,) accum weights.
 
@@ -170,11 +172,17 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     col_offset + render_width) — the unit of ray-parallel sharding
     (lidar_rt_tpu.parallel): each chip traces its own azimuth band against
     the replicated surfel set.
+
+    min_depth: optional per-ray (H, W_r) minimum hit range — the multi-
+    return mechanism (the reference's chunked re-launch from the last hit
+    depth, forward.cu:282-291): render return 1, then re-trace with
+    min_depth = first-return depth + gap for return 2.  Runs on the jax
+    engine (eval-time feature).
     """
     from lidar_rt_tpu.core import quaternions as quat_lib
 
     if (cfg.resolve_engine(grid.height, width, render_width) == "pallas"
-            and assignment is None):
+            and assignment is None and min_depth is None):
         from lidar_rt_tpu.ops import pallas_tracer
         pcfg = pallas_tracer.PallasTraceConfig(tile=cfg.tile,
                                                ray_block=cfg.ray_block)
@@ -214,8 +222,16 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     k = assignment.index.shape[1]
     idx_c = jnp.clip(assignment.index, 0, n - 1)
 
+    if min_depth is not None:
+        md_t = (min_depth[row_idx][:, col_idx]
+                .reshape(tiles_y, th, tiles_x, tw)
+                .transpose(0, 2, 1, 3)
+                .reshape(t_total, th * tw))
+    else:
+        md_t = jnp.full((t_total, th * tw), geometry.DEPTH_MIN)
+
     def tile_fn(args):
-        dirs_tile, idx, valid = args
+        dirs_tile, idx, valid, md_tile = args
         frames_k = geometry.SurfelFrames(
             w1=frames.w1[idx], w2=frames.w2[idx], n=frames.n[idx],
             p=frames.p[idx], a_u=frames.a_u[idx], a_v=frames.a_v[idx],
@@ -223,7 +239,7 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
         return _composite_tile(
             dirs_tile, frames_k, bundle.scales[idx], bundle.opacities[idx],
             bundle.sh[idx], valid, background, active_sh_degree,
-            cfg.exact_order)
+            cfg.exact_order, md_tile)
 
     # Scan over tile batches; each batch vmapped + rematerialized.
     b = min(cfg.tile_batch, t_total)
@@ -235,7 +251,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
 
     xs = (pad_tiles(dirs_t).reshape(nb, b, th * tw, 3),
           pad_tiles(idx_c).reshape(nb, b, k),
-          pad_tiles(assignment.valid).reshape(nb, b, k))
+          pad_tiles(assignment.valid).reshape(nb, b, k),
+          pad_tiles(md_t).reshape(nb, b, th * tw))
 
     batch_fn = jax.checkpoint(jax.vmap(tile_fn))
 
@@ -292,3 +309,36 @@ def render_frame(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
         "accum_weights": out.accum_weights,
         "channels": out.channels,
     }
+
+
+def render_multi_return(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
+                        width: int, sensor2world: Array,
+                        active_sh_degree: Array | int = 3,
+                        cfg: TraceConfig = TraceConfig(),
+                        use_rayhit: bool = True, return_gap: float = 1.0
+                        ) -> tuple[dict[str, Array], dict[str, Array]]:
+    """Dual-return rendering (Waymo's two-return range images).
+
+    Return 1 is the standard render; return 2 re-traces each ray with the
+    minimum hit range pushed past the first return by `return_gap` meters —
+    the analytic analogue of a second laser echo (and of the reference's
+    re-launch from the last composited depth, forward.cu:282-291).
+    """
+    r1 = render_frame(bundle, grid, width, sensor2world, active_sh_degree,
+                      cfg, use_rayhit)
+    min2 = jnp.maximum(r1["depth"], 0.0) + return_gap
+    background = jnp.array([0.0, 0.0, 1.0])
+    out2 = trace(bundle, grid, width, sensor2world, background,
+                 active_sh_degree, cfg, min_depth=min2)
+    if use_rayhit:
+        logits = jnp.stack([out2.channels[..., 1], out2.channels[..., 2]],
+                           axis=-1)
+        drop2 = jax.nn.softmax(logits, axis=-1)[..., 1]
+    else:
+        drop2 = jax.nn.sigmoid(out2.channels[..., 2])
+    r2 = {"depth": out2.channels[..., 3],
+          "intensity": out2.channels[..., 0],
+          "raydrop": drop2,
+          "accum_weights": out2.accum_weights,
+          "channels": out2.channels}
+    return r1, r2

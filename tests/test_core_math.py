@@ -172,3 +172,31 @@ class TestTransforms:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestCamera:
+    def test_pinhole_depth_of_frontal_plane(self):
+        import numpy as np
+        from lidar_rt_tpu.core.camera import Camera, render_debug
+        from lidar_rt_tpu.ops.composite import SurfelBundle
+
+        # opaque wall at z=+5 in camera frame (camera at origin, identity)
+        n = 25
+        g = np.linspace(-2, 2, 5)
+        xx, yy = np.meshgrid(g, g)
+        means = np.stack([xx.ravel(), yy.ravel(), np.full(n, 5.0)],
+                         1).astype(np.float32)
+        quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+        sh = np.zeros((n, 16, 3), np.float32)
+        sh[:, 0] = 0.5
+        bundle = SurfelBundle(
+            means=jnp.asarray(means), rotations=jnp.asarray(quats),
+            scales=jnp.full((n, 2), 1.0), opacities=jnp.full((n,), 0.99),
+            sh=jnp.asarray(sh))
+        cam = Camera(image_height=16, image_width=16, fovx=0.6, fovy=0.6,
+                     r=np.eye(3), t=np.zeros(3))
+        out = render_debug(bundle, cam, active_sh_degree=0, chunk=128)
+        d = np.asarray(out["depth"])
+        acc = np.asarray(out["accum"])
+        center = d[8, 8] / max(acc[8, 8], 1e-6)
+        assert abs(center - 5.0) < 0.2

@@ -128,3 +128,31 @@ class TestUNet:
         pred = np.asarray(out) > 0.5
         acc = (pred == (labels[0, ..., 0] > 0.5)).mean()
         assert acc > 0.7
+
+
+class TestEvalArtifacts:
+    def test_images_and_second_return(self, tmp_path):
+        from lidar_rt_tpu.config import default_experiment
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.eval.runner import EvalRunner
+        from lidar_rt_tpu.ops import tracer as tracer_lib
+        from lidar_rt_tpu.ops.binning import TileConfig
+
+        frames, _ = synthetic.generate(num_frames=2, height=16, width=128)
+        # fabricate a second return (shifted copy) to exercise the path
+        frames.range2 = np.where(frames.range1 > 0, frames.range1 + 2.0, 0)
+        frames.intensity2 = frames.intensity1 * 0.5
+        args = default_experiment()
+        scene = build.assemble_scene(frames, None, args,
+                                     capacity_headroom=1.0)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=64),
+            tile_batch=2, engine="jax")
+        runner = EvalRunner(scene, frames, args, cfg, use_gt_mask=True)
+        results = runner.run("all", str(tmp_path), save_images=True)
+        assert "depth_return2" in results["mean"]
+        assert np.isfinite(results["mean"]["depth_return2"]["rmse"])
+        import os
+        imgs = os.listdir(tmp_path / "images")
+        assert any(n.endswith(".png") for n in imgs)
+        assert any(n.startswith("pred_") for n in imgs)

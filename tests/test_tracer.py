@@ -198,3 +198,47 @@ class TestTracerGradients:
         # empty rays: bg logits (0 hit, 1 drop) -> drop prob ~ sigmoid-ish
         empty = np.asarray(out["channels"][..., 4]) < 1e-6
         assert rd[empty].min() > 0.5
+
+
+class TestMultiReturn:
+    def test_second_return_sees_behind_first_surface(self):
+        # two opaque walls at x=10 and x=20 straight ahead
+        n = 40
+        ys = np.linspace(-2, 2, 20)
+        means = np.concatenate([
+            np.stack([np.full(20, 10.0), ys, np.zeros(20)], 1),
+            np.stack([np.full(20, 20.0), ys, np.zeros(20)], 1)]).astype(
+            np.float32)
+        quats = np.tile(np.array([0.7071068, 0, 0.7071068, 0], np.float32),
+                        (n, 1))
+        sh = np.zeros((n, 16, 3), np.float32)
+        sh[:, 0] = 0.8
+        bundle = composite.SurfelBundle(
+            means=jnp.asarray(means), rotations=jnp.asarray(quats),
+            scales=jnp.full((n, 2), 0.8), opacities=jnp.full((n,), 0.99),
+            sh=jnp.asarray(sh))
+        cfg = tracer.TraceConfig(
+            tile=binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=40),
+            engine="jax")
+        grid8 = rays_lib.SensorGrid.from_bounds(8, (-0.02, 0.02))
+        r1, r2 = tracer.render_multi_return(
+            bundle, grid8, 256, jnp.eye(4), 0, cfg, return_gap=2.0)
+        d1 = np.asarray(r1["depth"])
+        d2 = np.asarray(r2["depth"])
+        # center ray: first return ~10, second ~20
+        assert abs(d1[4, 128] - 10.0) < 0.5
+        assert abs(d2[4, 128] - 20.0) < 0.5
+
+    def test_min_depth_threshold_exact(self):
+        bundle = _random_bundle(40, seed=9)
+        cfg = tracer.TraceConfig(
+            tile=binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=40),
+            engine="jax")
+        md = jnp.full((GRID.height, WIDTH), 15.0)
+        out = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, cfg,
+                           min_depth=md)
+        # every composited hit is beyond 15 m: expected depth over accum
+        d = np.asarray(out.channels[..., 3])
+        acc = np.asarray(out.channels[..., 4])
+        sel = acc > 0.1
+        assert (d[sel] / acc[sel] >= 15.0 - 1e-3).all()
