@@ -37,12 +37,22 @@ class TileConfig:
     tiles should be wide in azimuth).  max_per_tile: K candidate slots.
     cutoff_eps mirrors the reference's +0.01 pad on the opacity-adaptive
     cutoff radius (primitive_utils.py:205).
+
+    binner: "topk" scores a dense (T, N) overlap matrix (cost grows with
+    tile count); "sort" emits up to dup_rows x dup_cols (tile, surfel)
+    duplicates per surfel and radix-sorts one (tile, range) key stream —
+    the 3DGS-style path whose cost is ~independent of tile count.
+    Surfels whose footprint spans more tiles than the dup caps lose their
+    outermost tiles (bounded by the prune-size threshold during training).
     """
 
     tile_h: int = 32
     tile_w: int = 128
     max_per_tile: int = 512
     cutoff_eps: float = 0.01
+    binner: str = "topk"
+    dup_rows: int = 2
+    dup_cols: int = 8
 
     def num_tiles(self, height: int, width: int) -> tuple[int, int]:
         """Tile counts with ceiling division — rasters whose dims don't
@@ -114,6 +124,11 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
 
     live = (opacities > geometry.ALPHA_MIN) & (rng > geometry.DEPTH_MIN)
 
+    if cfg.binner == "sort":
+        return _select_sorted(cfg, h, width, num_cols, col_offset, tiles_y,
+                              tiles_x, row_lo, row_hi, col_c, col_half, rng,
+                              live)
+
     # Tile grids: (T,) centers/extents, row-major (ty, tx).
     ty = jnp.arange(tiles_y)
     tx = jnp.arange(tiles_x)
@@ -149,3 +164,92 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
         valid = jnp.pad(valid, ((0, 0), (0, pad)))
     truncated = jnp.maximum(jnp.sum(overlap, axis=-1) - k, 0)
     return TileAssignment(index=index, valid=valid, truncated=truncated)
+
+
+_RANGE_BITS = 18
+_RANGE_MAX = 120.0
+
+
+def _select_sorted(cfg: TileConfig, h: int, width: int, num_cols: int,
+                   col_offset: int, tiles_y: int, tiles_x: int,
+                   row_lo, row_hi, col_c, col_half, rng, live
+                   ) -> TileAssignment:
+    """Duplication + single radix sort candidate selection.
+
+    Each surfel emits up to dup_rows x (2 * dup_cols) (tile, surfel) pairs
+    (the x2 covers the azimuth seam via a shifted second representation);
+    one global argsort of packed (tile << 18 | quantized range) keys groups
+    pairs by tile in nearest-first order, and per-tile lists are gathered
+    from tile start offsets.  Cost is ~independent of tile count (TPU int
+    sorts run at memory speed), unlike the (T, N) top_k path.
+    """
+    n = rng.shape[0]
+    th, tw = cfg.tile_h, cfg.tile_w
+    t_total = tiles_y * tiles_x
+    k = cfg.max_per_tile
+
+    # --- row tile interval (matches the topk overlap test) ---
+    # The raw bounds stay UNCLIPPED for the validity test: clipping either
+    # end would turn intervals entirely above/below the raster into false
+    # hits on the first/last row tile.
+    ty_min_raw = jnp.ceil((row_lo + 0.5) / th).astype(jnp.int32) - 1
+    ty_max_raw = jnp.floor((row_hi + 0.5) / th).astype(jnp.int32)
+    ty_min = jnp.clip(ty_min_raw, 0, tiles_y - 1)
+    ty_max = jnp.minimum(ty_max_raw, tiles_y - 1)
+
+    # --- column tile candidates: two shifted representations ---
+    b = col_half + tw / 2.0 + 0.5
+    u = jnp.mod(col_c - col_offset, float(width))            # (N,)
+    tx_min_u = jnp.ceil((u - b) / tw - 0.5).astype(jnp.int32)
+    tx_max_u = jnp.floor((u + b) / tw - 0.5).astype(jnp.int32)
+    uw = u + width
+    tx_min_w = jnp.ceil((uw - b) / tw - 0.5).astype(jnp.int32)
+
+    dr, dc = cfg.dup_rows, cfg.dup_cols
+    dy = jnp.arange(dr)[None, :, None, None]                 # (1, DR, 1, 1)
+    dx = jnp.arange(dc)[None, None, :, None]                 # (1, 1, DC, 1)
+    rep = jnp.arange(2)[None, None, None, :]                 # (1, 1, 1, 2)
+
+    ty_c = ty_min[:, None, None, None] + dy                  # (N, DR, 1, 1)
+    tx_start = jnp.stack([tx_min_u, tx_min_w], axis=-1)      # (N, 2)
+    tx_c = tx_start[:, None, None, :] + dx                   # (N, 1, DC, 2)
+    # seam dedup: the shifted representation must stay past the first one
+    rep_ok = (rep == 0) | (tx_c > tx_max_u[:, None, None, None])
+
+    row_ok = ((ty_c <= ty_max[:, None, None, None])
+              & (ty_c >= ty_min_raw[:, None, None, None]))
+    col_in = (tx_c >= 0) & (tx_c < tiles_x)
+    # exact circular-distance recheck (caps/clips can't false-positive)
+    tile_cc = jnp.mod(col_offset + (tx_c.astype(jnp.float32) + 0.5) * tw,
+                      float(width))
+    dcol = jnp.abs(col_c[:, None, None, None] - tile_cc)
+    dcol = jnp.minimum(dcol, width - dcol)
+    col_ok = dcol <= (col_half[:, None, None, None] + tw / 2.0 + 0.5)
+
+    valid = (row_ok & col_in & col_ok & rep_ok
+             & live[:, None, None, None])                    # (N,DR,DC,2)
+    tile_id = (jnp.clip(ty_c, 0, tiles_y - 1) * tiles_x
+               + jnp.clip(tx_c, 0, tiles_x - 1))
+
+    qrange = jnp.clip(rng / _RANGE_MAX * (1 << _RANGE_BITS), 0,
+                      (1 << _RANGE_BITS) - 1).astype(jnp.int32)
+    key = jnp.where(valid,
+                    (tile_id << _RANGE_BITS)
+                    | qrange[:, None, None, None],
+                    jnp.int32(2 ** 31 - 1)).reshape(-1)      # (N*D,)
+
+    order = jnp.argsort(key)
+    d_total = dr * dc * 2
+    surf_sorted = (order // d_total).astype(jnp.int32)
+    key_sorted = key[order]
+    tile_sorted = key_sorted >> _RANGE_BITS                  # invalid -> big
+
+    starts = jnp.searchsorted(tile_sorted, jnp.arange(t_total + 1),
+                              method="scan_unrolled")
+    slots = starts[:-1, None] + jnp.arange(k)[None, :]       # (T, K)
+    valid_tk = slots < starts[1:, None]
+    index = jnp.where(valid_tk,
+                      surf_sorted[jnp.clip(slots, 0, surf_sorted.size - 1)],
+                      n)
+    truncated = jnp.maximum(starts[1:] - starts[:-1] - k, 0)
+    return TileAssignment(index=index, valid=valid_tk, truncated=truncated)

@@ -233,7 +233,7 @@ class Trainer:
         opt_cfg = self.args.opt
         total = iterations or int(opt_cfg.iterations)
         t0 = time.time()
-        for _ in range(total):
+        for local in range(1, total + 1):
             self.iteration += 1
             it = self.iteration
 
@@ -250,7 +250,7 @@ class Trainer:
                 if it % int(opt_cfg.opacity_reset_interval) == 0:
                     self._reset_opacity()
 
-            if it % log_every == 0 or it == total:
+            if it % log_every == 0 or local == total:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(iteration=it,
                          alive=int(self.state.scene.background.num_alive),

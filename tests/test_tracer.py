@@ -242,3 +242,57 @@ class TestMultiReturn:
         acc = np.asarray(out.channels[..., 4])
         sel = acc > 0.1
         assert (d[sel] / acc[sel] >= 15.0 - 1e-3).all()
+
+
+class TestSortBinner:
+    @pytest.mark.parametrize("seed,tile", [(0, (8, 64, 80)),
+                                           (3, (16, 128, 120)),
+                                           (5, (32, 64, 80))])
+    def test_matches_topk_binner(self, seed, tile):
+        bundle = _random_bundle(80, seed=seed)
+        th, tw, k = tile
+        base = dict(tile_h=th, tile_w=tw, max_per_tile=k)
+        topk = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                   bundle.scales, bundle.opacities,
+                                   binning.TileConfig(**base, binner="topk"))
+        srt = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                  bundle.scales, bundle.opacities,
+                                  binning.TileConfig(**base, binner="sort",
+                                                     dup_rows=8,
+                                                     dup_cols=8))
+        for t in range(topk.index.shape[0]):
+            a = set(np.asarray(topk.index[t])[np.asarray(topk.valid[t])]
+                    .tolist())
+            b = set(np.asarray(srt.index[t])[np.asarray(srt.valid[t])]
+                    .tolist())
+            assert a == b, f"tile {t}: topk-only {a-b}, sort-only {b-a}"
+        # nearest-first ordering matches too (distinct ranges)
+        np.testing.assert_array_equal(
+            np.asarray(topk.index)[np.asarray(topk.valid)],
+            np.asarray(srt.index)[np.asarray(srt.valid)])
+
+    def test_seam_coverage(self):
+        # footprint across the azimuth seam must land in first + last tiles
+        means = jnp.array([[-10.0, 0.01, -1.0]])
+        cfg = binning.TileConfig(tile_h=32, tile_w=64, max_per_tile=4,
+                                 binner="sort", dup_cols=4)
+        asn = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), means,
+                                  jnp.full((1, 2), 1.5), jnp.full((1,), 0.9),
+                                  cfg)
+        hit_tiles = np.where(np.asarray(asn.valid[:, 0]))[0]
+        assert 0 in hit_tiles and 3 in hit_tiles
+
+    def test_render_parity_between_binners(self):
+        bundle = _random_bundle(60, seed=7)
+        base = dict(tile_h=8, tile_w=64, max_per_tile=64)
+        out_t = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3,
+                             tracer.TraceConfig(
+                                 tile=binning.TileConfig(**base),
+                                 engine="jax"))
+        out_s = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3,
+                             tracer.TraceConfig(
+                                 tile=binning.TileConfig(
+                                     **base, binner="sort", dup_rows=6,
+                                     dup_cols=8), engine="jax"))
+        np.testing.assert_allclose(np.asarray(out_s.channels),
+                                   np.asarray(out_t.channels), atol=1e-5)
