@@ -95,6 +95,10 @@ def main_train(argv=None) -> None:
     from lidar_rt_tpu.train import loop as loop_lib
     scene = build_lib.assemble_scene(frames, tracks, args)
     trainer = loop_lib.Trainer(scene, frames, args, _trace_cfg(args))
+    trainer.snapshot_dir = os.path.join(model_dir, "snapshots")
+    if bool(args.get("detect_anomaly", False)):
+        from lidar_rt_tpu.utils.profiling import enable_anomaly_detection
+        enable_anomaly_detection(True)
 
     if a.resume or a.model_path:
         path = a.model_path or ckpt_lib.find_best(os.path.join(model_dir,

@@ -84,7 +84,8 @@ def cutoff_radius(scales: Array, opacities: Array, eps: float) -> Array:
 def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
                 means: Array, scales: Array, opacities: Array,
                 cfg: TileConfig, col_offset: int = 0,
-                num_cols: int | None = None) -> TileAssignment:
+                num_cols: int | None = None,
+                rotations: Array | None = None) -> TileAssignment:
     """Assign surfels to range-image tiles.
 
     means (N, 3) world; returns per-tile nearest-first candidate lists.
@@ -93,6 +94,14 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     col_offset/num_cols restrict binning to a column band [col_offset,
     col_offset + num_cols) of the full raster — the unit of ray-parallel
     sharding across chips (each device bins + renders its own band).
+
+    rotations (N, 4) enables ORIENTED footprint bounds: the angular extent
+    of the splat disk is its support function along the elevation/azimuth
+    tangents instead of an isotropic bounding sphere.  This matters
+    enormously for ground surfels seen at grazing incidence — flat disks
+    have a tiny vertical silhouette but a large bounding sphere, and the
+    isotropic bound floods every row tile with near-ground candidates,
+    evicting the true (farther) candidates from the K budget.
     """
     h = grid.height
     n = means.shape[0]
@@ -102,23 +111,55 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
 
     row_c, col_c, rng = rays_lib.project_points(grid, means, world2sensor,
                                                 width)
-    radius = cutoff_radius(scales, opacities, cfg.cutoff_eps)
     safe_rng = jnp.maximum(rng, geometry.DEPTH_MIN)
-    ang = jnp.arctan2(radius, safe_rng)
 
     # Sensor-frame inclination of the center (project_points recomputes it
     # internally; reproduce it here for the row bound).
-    p = (jnp.einsum("ij,nj->ni", world2sensor[:3, :3], means,
-                    precision=jax.lax.Precision.HIGHEST)
+    hp = jax.lax.Precision.HIGHEST
+    p = (jnp.einsum("ij,nj->ni", world2sensor[:3, :3], means, precision=hp)
          + world2sensor[:3, 3])
     horiz = jnp.maximum(jnp.linalg.norm(p[:, :2], axis=-1), 1e-12)
     incl = jnp.arctan2(p[:, 2], horiz)
 
+    cut = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opacities * 255.0,
+                                             1.0 + 1e-6))) + cfg.cutoff_eps
+    if rotations is None:
+        radius = jnp.max(scales, axis=-1) * cut
+        ang_row = jnp.arctan2(radius, safe_rng)
+        ang_col = ang_row
+    else:
+        from lidar_rt_tpu.core import quaternions as quat_lib
+
+        azim = jnp.arctan2(p[:, 1], p[:, 0])
+        sin_i, cos_i = jnp.sin(incl), jnp.cos(incl)
+        sin_a, cos_a = jnp.sin(azim), jnp.cos(azim)
+        # Sensor-frame tangents at the surfel direction.
+        e_vec = jnp.stack([-sin_i * cos_a, -sin_i * sin_a, cos_i], -1)
+        a_vec = jnp.stack([-sin_a, cos_a, jnp.zeros_like(sin_a)], -1)
+        d_vec = jnp.stack([cos_i * cos_a, cos_i * sin_a, sin_i], -1)
+        rot = quat_lib.to_rotation_matrix(rotations)
+        # Splat axes in the sensor frame, pre-scaled by the cutoff extent.
+        w1 = jnp.einsum("ij,njk->nik", world2sensor[:3, :3], rot,
+                        precision=hp)
+        s1 = (scales[:, 0] * cut)[:, None] * w1[:, :, 0]
+        s2 = (scales[:, 1] * cut)[:, None] * w1[:, :, 1]
+
+        def support(direction):
+            return jnp.sqrt(jnp.sum(s1 * direction, -1) ** 2
+                            + jnp.sum(s2 * direction, -1) ** 2)
+
+        # Perspective safety: the nearest point of the disk along the view
+        # direction shortens the effective range.
+        rng_eff = jnp.maximum(safe_rng - support(d_vec),
+                              geometry.DEPTH_MIN)
+        ang_row = jnp.arctan2(support(e_vec), rng_eff)
+        ang_col = jnp.arctan2(support(a_vec), rng_eff)
+
     # Row interval: inclinations are monotone decreasing in row index.
-    row_lo = rays_lib.row_of_inclination(grid, incl + ang)   # smaller row
-    row_hi = rays_lib.row_of_inclination(grid, incl - ang)
+    row_lo = rays_lib.row_of_inclination(grid, incl + ang_row)  # smaller row
+    row_hi = rays_lib.row_of_inclination(grid, incl - ang_row)
     # Azimuth half-width in columns (azimuth circle shrinks by cos incl).
-    col_half = (ang / jnp.maximum(jnp.cos(incl), 1e-3)) \
+    col_half = (ang_col / jnp.maximum(jnp.cos(incl), 1e-3)) \
         * (width / (2.0 * jnp.pi))
     col_half = jnp.minimum(col_half, width / 2.0)
 

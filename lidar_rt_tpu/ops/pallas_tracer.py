@@ -347,7 +347,8 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
         jax.lax.stop_gradient(bundle.means),
         jax.lax.stop_gradient(bundle.scales),
         jax.lax.stop_gradient(bundle.opacities), cfg.tile,
-        col_offset=col_offset, num_cols=w_r)
+        col_offset=col_offset, num_cols=w_r,
+        rotations=jax.lax.stop_gradient(bundle.rotations))
 
     origin, dirs = rays_lib.range_rays(grid, w, sensor2world)
     row_idx = _pad_indices(h, th, wrap=False)

@@ -204,7 +204,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
             jax.lax.stop_gradient(bundle.means),
             jax.lax.stop_gradient(bundle.scales),
             jax.lax.stop_gradient(bundle.opacities), cfg.tile,
-            col_offset=col_offset, num_cols=w_r)
+            col_offset=col_offset, num_cols=w_r,
+            rotations=jax.lax.stop_gradient(bundle.rotations))
 
     origin, dirs = rays_lib.range_rays(grid, w, sensor2world)
     # Pad to tile multiples (clamp rows, wrap azimuth) and tile:

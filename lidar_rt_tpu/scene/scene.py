@@ -83,18 +83,25 @@ def _actor_world(actors: GaussianAsset, tracks: ActorTrack, frame: Array
     return xyz_world, q_world
 
 
-def compose(scene: Scene, frame: Array) -> tuple[SurfelBundle, Array]:
+def compose(scene: Scene, frame: Array, decomp: str | None = None
+            ) -> tuple[SurfelBundle, Array]:
     """Flatten the scene at a frame into a world-frame render bundle.
 
     Returns (bundle, alive): bundle fields have leading dim B + M*A with
     background slots first; `alive` masks real splats.  Dead slots carry
     opacity 0 so they are compositing no-ops without branching.
+
+    decomp: None renders everything; "background" / "object" zero out the
+    other subset's opacities (shape-stable equivalent of the reference's
+    decomposed rendering, lib/gaussian_renderer/__init__.py:26-29).
     """
     bg = scene.background
+    bg_gate = 0.0 if decomp == "object" else 1.0
+    ac_gate = 0.0 if decomp == "background" else 1.0
     means = [bg.xyz]
     quats = [bg.rotation]
     scales = [bg.scales]
-    opac = [jnp.where(bg.alive, bg.opacity, 0.0)]
+    opac = [jnp.where(bg.alive, bg.opacity * bg_gate, 0.0)]
     shs = [bg.sh]
     alive = [bg.alive]
 
@@ -105,7 +112,8 @@ def compose(scene: Scene, frame: Array) -> tuple[SurfelBundle, Array]:
         means.append(xyz_w.reshape(m * a, 3))
         quats.append(q_w.reshape(m * a, 4))
         scales.append(ac.scales.reshape(m * a, 2))
-        opac.append(jnp.where(ac.alive, ac.opacity, 0.0).reshape(m * a))
+        opac.append(jnp.where(ac.alive, ac.opacity * ac_gate,
+                              0.0).reshape(m * a))
         shs.append(ac.sh.reshape(m * a, 16, 3))
         alive.append(ac.alive.reshape(m * a))
 

@@ -220,6 +220,7 @@ class Trainer:
         self._frame_stack: list[int] = []
         self.iteration = 0
         self.history: list[dict] = []
+        self.snapshot_dir: str | None = None  # set to enable NaN dumps
 
     def _next_frame(self) -> int:
         if not self._frame_stack:
@@ -252,6 +253,14 @@ class Trainer:
 
             if it % log_every == 0 or local == total:
                 m = {k: float(v) for k, v in metrics.items()}
+                # failure detection: snapshot + raise on non-finite loss
+                # (the reference's snapshot_fw.dump equivalent)
+                if self.snapshot_dir is not None:
+                    from lidar_rt_tpu.utils import profiling
+                    profiling.guard_finite(
+                        m, self.state,
+                        f"{self.snapshot_dir}/snapshot_it{it}.npz",
+                        context=f"iteration {it}")
                 m.update(iteration=it,
                          alive=int(self.state.scene.background.num_alive),
                          elapsed=time.time() - t0)

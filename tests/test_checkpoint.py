@@ -66,3 +66,21 @@ class TestCheckpoint:
         assert checkpoint.find_best(d).endswith("ckpt_it_300_good.npz")
         # plain checkpoints survive
         assert "ckpt_it_100.npz" in names
+
+
+class TestFailureDetection:
+    def test_guard_finite_snapshots_and_raises(self, tmp_path):
+        import pytest as _pytest
+        from lidar_rt_tpu.utils import profiling, checkpoint as ckpt
+        state = {"x": jnp.arange(4.0)}
+        path = str(tmp_path / "snap.npz")
+        # finite metrics: no-op
+        profiling.guard_finite({"loss": 1.0}, state, path)
+        assert not os.path.exists(path)
+        with _pytest.raises(FloatingPointError, match="non-finite"):
+            profiling.guard_finite({"loss": float("nan")}, state, path,
+                                   context="it 7")
+        restored, meta = ckpt.load(path)
+        assert "nan" in meta["reason"] or "loss" in meta["reason"]
+        np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                      np.arange(4.0))

@@ -187,3 +187,16 @@ class TestCompose:
         assert np.isfinite(np.asarray(g.background.xyz)).all()
         # actor local xyz receives gradient through the box rotation
         assert np.abs(np.asarray(g.actors.xyz)).max() > 0
+
+    def test_decomp_rendering_subsets(self):
+        scene, _ = self._scene()
+        full, _ = compose(scene, jnp.asarray(0))
+        bg_only, _ = compose(scene, jnp.asarray(0), decomp="background")
+        obj_only, _ = compose(scene, jnp.asarray(0), decomp="object")
+        # actor slots zeroed in background-only, bg slots zeroed in
+        # object-only; union reconstructs the full opacities
+        assert float(bg_only.opacities[16:].max()) == 0.0
+        assert float(obj_only.opacities[:16].max()) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(bg_only.opacities + obj_only.opacities),
+            np.asarray(full.opacities), atol=1e-7)
