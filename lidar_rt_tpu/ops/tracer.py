@@ -27,7 +27,6 @@ reference and fallback.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

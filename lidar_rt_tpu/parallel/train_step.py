@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from lidar_rt_tpu.core import rays as rays_lib
 from lidar_rt_tpu.data.frames import LiDARFrames
 from lidar_rt_tpu.ops import tracer as tracer_lib
 from lidar_rt_tpu.scene import Scene, compose, split_by_asset
