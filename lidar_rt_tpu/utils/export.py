@@ -94,3 +94,59 @@ def colormap(values: np.ndarray) -> np.ndarray:
     i = np.clip(x.astype(np.int32), 0, len(_TURBO_ANCHORS) - 2)
     frac = (x - i)[..., None]
     return _TURBO_ANCHORS[i] * (1 - frac) + _TURBO_ANCHORS[i + 1] * frac
+
+
+def write_splat_ply(path: str, asset) -> None:
+    """Export a GaussianAsset's alive splats in the 3DGS PLY convention
+    (x,y,z, nx,ny,nz, f_dc_*, f_rest_*, opacity, scale_*, rot_*) so scenes
+    interoperate with external splat tooling (the reference stores .pth
+    pickles; PLY is the de-facto interchange format)."""
+    import numpy as _np
+
+    alive = _np.asarray(asset.alive)
+    xyz = _np.asarray(asset.xyz)[alive]
+    f_dc = _np.asarray(asset.f_dc)[alive].reshape(len(xyz), -1)
+    f_rest = _np.asarray(asset.f_rest)[alive].reshape(len(xyz), -1)
+    opac = _np.asarray(asset.opacity_logit)[alive].reshape(len(xyz), 1)
+    log_scale = _np.asarray(asset.log_scale)[alive]
+    quat = _np.asarray(asset.quat)[alive]
+    n = len(xyz)
+
+    fields = ["x", "y", "z", "nx", "ny", "nz"]
+    fields += [f"f_dc_{i}" for i in range(f_dc.shape[1])]
+    fields += [f"f_rest_{i}" for i in range(f_rest.shape[1])]
+    fields += ["opacity"]
+    fields += [f"scale_{i}" for i in range(log_scale.shape[1])]
+    fields += [f"rot_{i}" for i in range(4)]
+    data = _np.concatenate(
+        [xyz, _np.zeros_like(xyz), f_dc, f_rest, opac, log_scale, quat],
+        axis=1).astype(np.float32)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property float {f}" for f in fields]
+    header.append("end_header")
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        f.write(data.tobytes())
+
+
+def read_splat_ply(path: str) -> dict:
+    """Read back write_splat_ply output -> dict of arrays."""
+    import numpy as _np
+
+    with open(path, "rb") as f:
+        fields = []
+        n = 0
+        while True:
+            line = f.readline().decode().strip()
+            if line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            elif line.startswith("property float"):
+                fields.append(line.split()[-1])
+            elif line == "end_header":
+                break
+        data = _np.frombuffer(f.read(n * len(fields) * 4),
+                              _np.float32).reshape(n, len(fields))
+    out = {name: data[:, i].copy() for i, name in enumerate(fields)}
+    out["__fields__"] = fields
+    return out

@@ -86,3 +86,24 @@ class TestConfig:
         args = config_lib.Args({"a": 1})
         with pytest.raises(AttributeError, match="available"):
             _ = args.missing
+
+
+class TestSplatPly:
+    def test_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from lidar_rt_tpu.scene import from_points
+        asset = from_points(
+            jnp.asarray(np.random.default_rng(0).normal(size=(20, 3)),
+                        jnp.float32),
+            jnp.full((20, 3), 0.5), jax.random.key(0), 32)
+        p = str(tmp_path / "splats.ply")
+        export.write_splat_ply(p, asset)
+        back = export.read_splat_ply(p)
+        assert len(back["x"]) == 20
+        np.testing.assert_allclose(back["x"], np.asarray(asset.xyz[:20, 0]))
+        np.testing.assert_allclose(back["opacity"],
+                                   np.asarray(asset.opacity_logit[:20]),
+                                   rtol=1e-6)
+        assert "f_rest_44" in back["__fields__"]
+        assert "scale_1" in back["__fields__"]

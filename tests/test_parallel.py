@@ -89,3 +89,72 @@ class TestMesh:
         assert m.shape == {"dp": 2, "rays": 4}
         with pytest.raises(ValueError):
             make_mesh(dp=3)
+
+
+class TestShardedTrainStep:
+    def test_loss_matches_single_chip(self):
+        """The dp=1, rays=8 sharded step must reproduce the single-chip
+        loss (up to the documented DSSIM band approximation, which this
+        config zeroes out)."""
+        import dataclasses
+        from lidar_rt_tpu.config import default_experiment, Args
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.parallel.train_step import (
+            make_sharded_train_step, stack_batches)
+        from lidar_rt_tpu.train import loop
+
+        frames, track = synthetic.generate(num_frames=2, height=16,
+                                           width=256)
+        d = default_experiment().to_dict()
+        # zero the terms with documented band approximations
+        d["opt"].update(lambda_intensity_dssim=0.0, lambda_cd=0.0)
+        d["model"].update(obj_pt_num=128, voxel_size=0.3)
+        args = Args(d)
+        scene = build.assemble_scene(frames, [track], args,
+                                     capacity_headroom=1.0)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=32, max_per_tile=128),
+            tile_batch=2, engine="jax", exact_order=False)
+
+        state, opt_bg, opt_ac = loop.init_train_state(scene, args.opt)
+        single = loop.make_train_step(frames, args, cfg, opt_bg, opt_ac)
+        _, m_single = single(state, loop.frame_batch(frames, 0))
+
+        mesh = make_mesh(dp=1, rays=8)
+        state2, opt_bg2, opt_ac2 = loop.init_train_state(scene, args.opt)
+        sharded = make_sharded_train_step(frames, args, cfg, opt_bg2,
+                                          opt_ac2, mesh)
+        batch = stack_batches([loop.frame_batch(frames, 0)])
+        new_state, m_sharded = sharded(state2, batch)
+
+        assert float(m_sharded["loss"]) == pytest.approx(
+            float(m_single["loss"]), rel=1e-4)
+        # parameters actually moved and stayed finite
+        dx = np.asarray(new_state.scene.background.xyz
+                        - state2.scene.background.xyz)
+        assert np.isfinite(dx).all() and np.abs(dx).max() > 0
+
+    def test_dp2_averages_two_frames(self):
+        from lidar_rt_tpu.config import default_experiment, Args
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.parallel.train_step import (
+            make_sharded_train_step, stack_batches)
+        from lidar_rt_tpu.train import loop
+
+        frames, _ = synthetic.generate(num_frames=2, height=16, width=256)
+        d = default_experiment().to_dict()
+        d["opt"].update(lambda_intensity_dssim=0.0, lambda_cd=0.0)
+        args = Args(d)
+        scene = build.assemble_scene(frames, None, args,
+                                     capacity_headroom=1.0)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=128),
+            tile_batch=2, engine="jax", exact_order=False)
+        mesh = make_mesh(dp=2, rays=4)
+        state, opt_bg, opt_ac = loop.init_train_state(scene, args.opt)
+        step = make_sharded_train_step(frames, args, cfg, opt_bg, opt_ac,
+                                       mesh)
+        batch = stack_batches([loop.frame_batch(frames, 0),
+                               loop.frame_batch(frames, 1)])
+        _, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))

@@ -46,7 +46,7 @@ def trained():
 
     f_eval = frames.eval_frames[0] if frames.eval_frames else 0
     before = trainer.render_eval(f_eval)
-    history = trainer.run(iterations=ITERS, log_every=40)
+    history = trainer.run(iterations=ITERS, log_every=10)
     after = trainer.render_eval(f_eval)
     return frames, f_eval, before, after, history, trainer
 
@@ -54,7 +54,10 @@ def trained():
 class TestTrainingEndToEnd:
     def test_loss_decreases(self, trained):
         _, _, _, _, history, _ = trained
-        assert history[-1]["loss"] < history[0]["loss"]
+        # per-log losses are single random frames: compare smoothed ends
+        first = np.mean([h["loss"] for h in history[:3]])
+        last = np.mean([h["loss"] for h in history[-3:]])
+        assert last < first
 
     def test_depth_error_improves(self, trained):
         frames, f_eval, before, after, _, _ = trained
