@@ -69,7 +69,9 @@ def _trace_cfg(args):
     kw = t.to_dict() if t is not None else {}
     tile = TileConfig(
         tile_h=int(kw.get("tile_h", 32)), tile_w=int(kw.get("tile_w", 128)),
-        max_per_tile=int(kw.get("max_per_tile", 512)))
+        max_per_tile=int(kw.get("max_per_tile", 512)),
+        binner=str(kw.get("binner", "topk")),
+        coarse_factor=int(kw.get("coarse_factor", 8)))
     return tracer_lib.TraceConfig(
         tile=tile, exact_order=bool(kw.get("exact_order", True)),
         tile_batch=int(kw.get("tile_batch", 4)))

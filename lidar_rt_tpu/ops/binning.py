@@ -53,6 +53,7 @@ class TileConfig:
     binner: str = "topk"
     dup_rows: int = 2
     dup_cols: int = 8
+    coarse_factor: int = 8   # hier binner: coarse K = coarse_factor * K
 
     def num_tiles(self, height: int, width: int) -> tuple[int, int]:
         """Tile counts with ceiling division — rasters whose dims don't
@@ -169,6 +170,9 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
         return _select_sorted(cfg, h, width, num_cols, col_offset, tiles_y,
                               tiles_x, row_lo, row_hi, col_c, col_half, rng,
                               live)
+    if cfg.binner == "hier":
+        return _select_hier(cfg, h, width, col_offset, tiles_y, tiles_x,
+                            row_lo, row_hi, col_c, col_half, rng, live)
 
     # Tile grids: (T,) centers/extents, row-major (ty, tx).
     ty = jnp.arange(tiles_y)
@@ -294,3 +298,63 @@ def _select_sorted(cfg: TileConfig, h: int, width: int, num_cols: int,
                       n)
     truncated = jnp.maximum(starts[1:] - starts[:-1] - k, 0)
     return TileAssignment(index=index, valid=valid_tk, truncated=truncated)
+
+
+def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
+                 tiles_y: int, tiles_x: int, row_lo, row_hi, col_c,
+                 col_half, rng, live) -> TileAssignment:
+    """Two-level top-k: column sectors first, then row tiles.
+
+    Stage 1 runs one (tiles_x, N) nearest-K_c selection per azimuth sector
+    (row extent ignored).  Stage 2 refines each (row-tile, sector) pair over
+    only the K_c = coarse_factor*K sector candidates — a (T, K_c) matrix,
+    tiny compared to (T, N).  This makes fine row tiling affordable: the
+    expensive top_k no longer scales with tiles_y.
+
+    Exactness: equal to the flat topk binner whenever a sector's total
+    column-overlap count is <= K_c (stage-1 truncation is counted in
+    `truncated` otherwise).
+    """
+    n = rng.shape[0]
+    k = cfg.max_per_tile
+    k_c = min(cfg.coarse_factor * k, n)
+
+    tx = jnp.arange(tiles_x)
+    tile_col_c = jnp.mod(col_offset + (tx.astype(jnp.float32) + 0.5)
+                         * cfg.tile_w, float(width))
+    dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
+    dcol = jnp.minimum(dcol, width - dcol)
+    col_overlap = (dcol <= (col_half[None, :] + cfg.tile_w / 2.0 + 0.5)) \
+        & live[None, :]                                     # (tiles_x, N)
+
+    score = jnp.where(col_overlap, rng[None, :], jnp.inf)
+    neg_top, idx_c = jax.lax.top_k(-score, k_c)             # nearest first
+    valid_c = jnp.isfinite(-neg_top)                        # (tiles_x, K_c)
+    coarse_trunc = jnp.maximum(
+        jnp.sum(col_overlap, axis=-1) - k_c, 0)             # (tiles_x,)
+
+    # Stage 2: row-tile refinement over sector candidates.
+    row_lo_c = row_lo[idx_c]                                # (tiles_x, K_c)
+    row_hi_c = row_hi[idx_c]
+    rng_c = rng[idx_c]
+    ty = jnp.arange(tiles_y)
+    t_row_lo = (ty * cfg.tile_h).astype(jnp.float32)
+    t_row_hi = jnp.minimum((ty + 1) * cfg.tile_h, h).astype(jnp.float32)
+    row_ok = ((row_lo_c[None] <= t_row_hi[:, None, None] - 0.5)
+              & (row_hi_c[None] >= t_row_lo[:, None, None] - 0.5)
+              & valid_c[None])                              # (ty, tx, K_c)
+
+    fine_score = jnp.where(row_ok, rng_c[None], jnp.inf)
+    kk = min(k, k_c)
+    neg_f, sel = jax.lax.top_k(-fine_score.reshape(-1, k_c), kk)
+    valid = jnp.isfinite(-neg_f)                            # (T, kk)
+    idx_flat = jnp.broadcast_to(idx_c[None], (tiles_y, tiles_x, k_c)) \
+        .reshape(-1, k_c)
+    index = jnp.where(valid, jnp.take_along_axis(idx_flat, sel, axis=-1), n)
+    if kk < k:
+        index = jnp.pad(index, ((0, 0), (0, k - kk)), constant_values=n)
+        valid = jnp.pad(valid, ((0, 0), (0, k - kk)))
+    truncated = (jnp.maximum(jnp.sum(row_ok, axis=-1).reshape(-1) - kk, 0)
+                 + jnp.broadcast_to(coarse_trunc[None], (tiles_y, tiles_x)
+                                    ).reshape(-1))
+    return TileAssignment(index=index, valid=valid, truncated=truncated)

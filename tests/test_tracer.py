@@ -296,3 +296,35 @@ class TestSortBinner:
                                      dup_cols=8), engine="jax"))
         np.testing.assert_allclose(np.asarray(out_s.channels),
                                    np.asarray(out_t.channels), atol=1e-5)
+
+
+class TestHierBinner:
+    @pytest.mark.parametrize("seed,tile", [(0, (8, 64, 80)),
+                                           (5, (16, 128, 80))])
+    def test_matches_topk_binner(self, seed, tile):
+        bundle = _random_bundle(80, seed=seed)
+        th, tw, k = tile
+        base = dict(tile_h=th, tile_w=tw, max_per_tile=k)
+        topk = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                   bundle.scales, bundle.opacities,
+                                   binning.TileConfig(**base, binner="topk"),
+                                   rotations=bundle.rotations)
+        hier = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                   bundle.scales, bundle.opacities,
+                                   binning.TileConfig(**base, binner="hier",
+                                                      coarse_factor=1),
+                                   rotations=bundle.rotations)
+        # coarse_factor=1 with K >= N makes both exact: sets AND order match
+        np.testing.assert_array_equal(
+            np.asarray(topk.index)[np.asarray(topk.valid)],
+            np.asarray(hier.index)[np.asarray(hier.valid)])
+
+    def test_truncation_counted(self):
+        bundle = _random_bundle(80, seed=1)
+        cfg = binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=8,
+                                 binner="hier", coarse_factor=2)
+        asn = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                  bundle.scales, bundle.opacities, cfg,
+                                  rotations=bundle.rotations)
+        assert int(np.asarray(asn.truncated).sum()) > 0
+        assert np.asarray(asn.valid.sum(1)).max() <= 8
