@@ -162,6 +162,15 @@ class EvalRunner:
         if save_images and output_dir:
             for f in frame_ids:
                 self.save_frame_images(f, os.path.join(output_dir, "images"))
+            # 5 fps depth animation (eval.py:522-524's video equivalent)
+            from lidar_rt_tpu.utils.export import colormap, write_apng
+            vids = []
+            for f in frame_ids:
+                r = self.record_render(f)
+                scale = max(float(r["gt_depth"].max()), 1e-6)
+                vids.append(colormap(r["depth"] / scale))
+            write_apng(os.path.join(output_dir, "depth_anim.png"), vids,
+                       fps=5)
 
         agg: dict[str, dict[str, float]] = {}
         groups = sorted({g for f in frame_ids for g in per_frame[f]})

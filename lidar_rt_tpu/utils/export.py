@@ -150,3 +150,46 @@ def read_splat_ply(path: str) -> dict:
     out = {name: data[:, i].copy() for i, name in enumerate(fields)}
     out["__fields__"] = fields
     return out
+
+
+def write_apng(path: str, frames_seq, fps: int = 5) -> None:
+    """Animated PNG of (H, W[,3]) float frames in [0,1] — the eval video
+    artifact (the reference writes 5 fps mp4s, eval.py:522-524; TPU hosts
+    have no ffmpeg, and APNG plays in any browser)."""
+    frames_list = [np.asarray(f) for f in frames_seq]
+    if not frames_list:
+        raise ValueError("no frames")
+
+    def to_rgb(img):
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+    rgb = [to_rgb(f) for f in frames_list]
+    h, w = rgb[0].shape[:2]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        c = struct.pack(">I", len(payload)) + typ + payload
+        return c + struct.pack(">I", zlib.crc32(typ + payload))
+
+    def scanlines(img):
+        return zlib.compress(b"".join(b"\x00" + img[i].tobytes()
+                                      for i in range(h)))
+
+    seq = 0
+    out = [b"\x89PNG\r\n\x1a\n",
+           chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+           chunk(b"acTL", struct.pack(">II", len(rgb), 0))]
+    for i, img in enumerate(rgb):
+        out.append(chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, fps, 0, 0)))
+        seq += 1
+        data = scanlines(img)
+        if i == 0:
+            out.append(chunk(b"IDAT", data))
+        else:
+            out.append(chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))

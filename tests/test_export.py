@@ -107,3 +107,15 @@ class TestSplatPly:
                                    rtol=1e-6)
         assert "f_rest_44" in back["__fields__"]
         assert "scale_1" in back["__fields__"]
+
+
+class TestApng:
+    def test_structure(self, tmp_path):
+        frames = [np.full((8, 12), v, np.float32) for v in (0.1, 0.5, 0.9)]
+        p = str(tmp_path / "anim.png")
+        export.write_apng(p, frames, fps=5)
+        raw = open(p, "rb").read()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        assert raw.count(b"fcTL") == 3
+        assert raw.count(b"fdAT") == 2
+        assert b"acTL" in raw and b"IEND" in raw
