@@ -113,3 +113,30 @@ class TestPallasBackward:
         scale = np.abs(np.asarray(g_j.means)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(g_p.means) / scale,
                                    np.asarray(g_j.means) / scale, atol=2e-3)
+
+
+class TestPallasBandRendering:
+    def test_band_matches_full_slice(self):
+        """Column-band rendering (the ray-sharding unit) must equal the
+        corresponding slice of a full render."""
+        bundle = _bundle(50, seed=11)
+        full = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, P_CFG)
+        band_w = 128
+        for off in (0, 128):
+            band = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3,
+                                       P_CFG, col_offset=off,
+                                       render_width=band_w)
+            np.testing.assert_allclose(
+                np.asarray(band.channels),
+                np.asarray(full.channels[:, off:off + band_w]), atol=2e-4)
+
+    def test_band_accum_sums_to_full(self):
+        bundle = _bundle(50, seed=12)
+        full = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, P_CFG)
+        acc = sum(
+            np.asarray(pallas_tracer.trace(
+                bundle, GRID, WIDTH, S2W, BG, 3, P_CFG, col_offset=off,
+                render_width=128).accum_weights)
+            for off in (0, 128))
+        np.testing.assert_allclose(acc, np.asarray(full.accum_weights),
+                                   atol=2e-4)

@@ -328,3 +328,26 @@ class TestHierBinner:
                                   rotations=bundle.rotations)
         assert int(np.asarray(asn.truncated).sum()) > 0
         assert np.asarray(asn.valid.sum(1)).max() <= 8
+
+
+class TestRaydropHeads:
+    def test_sigmoid_vs_softmax_head(self):
+        bundle = _random_bundle(30, seed=13)
+        cfg = tracer.TraceConfig(
+            tile=binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=32),
+            engine="jax")
+        soft = tracer.render_frame(bundle, GRID, WIDTH, S2W, 3, cfg,
+                                   use_rayhit=True)
+        sig = tracer.render_frame(bundle, GRID, WIDTH, S2W, 3, cfg,
+                                  use_rayhit=False)
+        # same underlying channels, different drop heads
+        np.testing.assert_allclose(np.asarray(soft["depth"]),
+                                   np.asarray(sig["depth"]))
+        logits = np.asarray(soft["channels"][..., 1:3])
+        expect_soft = np.exp(logits[..., 1]) / (
+            np.exp(logits[..., 0]) + np.exp(logits[..., 1]))
+        np.testing.assert_allclose(np.asarray(soft["raydrop"]), expect_soft,
+                                   atol=1e-5)
+        expect_sig = 1.0 / (1.0 + np.exp(-logits[..., 1]))
+        np.testing.assert_allclose(np.asarray(sig["raydrop"]), expect_sig,
+                                   atol=1e-5)
