@@ -180,6 +180,11 @@ def main_train(argv=None) -> None:
                       variables, {"in_ch": inputs.shape[-1],
                                   "final_loss": hist[-1]})
         print(f"unet refinement: {hist[0]:.4f} -> {hist[-1]:.4f}")
+
+    # training + densification history (train.py:450-501 log.json parity)
+    with open(os.path.join(model_dir, "logs", "log.json"), "w") as fp:
+        json.dump({"history": trainer.history,
+                   "densify": trainer.densify_log}, fp, indent=1)
     recorder.close()
 
 

@@ -220,6 +220,7 @@ class Trainer:
         self._frame_stack: list[int] = []
         self.iteration = 0
         self.history: list[dict] = []
+        self.densify_log: list[dict] = []  # per-pass counts (train.py:450+)
         self.snapshot_dir: str | None = None  # set to enable NaN dumps
 
     def _next_frame(self) -> int:
@@ -283,6 +284,9 @@ class Trainer:
             track=None)
         st.scene = dataclasses.replace(st.scene, background=bg)
         st.opt_state_bg, st.stats_bg, st.key = ost, stats, key
+        self.densify_log.append(
+            {"iteration": it, "asset": "background",
+             **{k: int(v) for k, v in counts._asdict().items()}})
 
         if st.scene.actors is not None:
             self._densify_actors(k_ac, use_size)
@@ -321,6 +325,9 @@ class Trainer:
             and x.shape[0] == m * a else x, new_flat)
         st.scene = dataclasses.replace(st.scene, actors=new_actors)
         st.opt_state_actors, st.stats_actors = ost, stats
+        self.densify_log.append(
+            {"iteration": self.iteration, "asset": "actors",
+             **{k: int(v) for k, v in counts._asdict().items()}})
 
     def _reset_opacity(self) -> None:
         st = self.state
