@@ -57,6 +57,11 @@ class PallasTraceConfig:
             raise ValueError(f"max_per_tile must be a multiple of {K_CHUNK}")
         if (self.tile.tile_h * self.tile.tile_w) % self.ray_block:
             raise ValueError("tile ray count must divide by ray_block")
+        if self.ray_block % 8 or self.ray_block > 512:
+            # Backward-kernel VMEM: ~12 live (ray_block, 128) f32 temporaries
+            # per unrolled chunk; rb > 512 exceeds the 16 MB budget and odd
+            # rb wastes sublane padding.
+            raise ValueError("ray_block must be a multiple of 8 and <= 512")
 
 
 def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,

@@ -73,7 +73,8 @@ class TraceConfig:
         pallas_ok = (
             jax.default_backend() == "tpu"
             and self.tile.max_per_tile % 128 == 0
-            and (self.tile.tile_h * self.tile.tile_w) % self.ray_block == 0)
+            and (self.tile.tile_h * self.tile.tile_w) % self.ray_block == 0
+            and self.ray_block % 8 == 0 and self.ray_block <= 512)
         if self.engine == "pallas":
             if not pallas_ok and jax.default_backend() == "tpu":
                 raise ValueError(

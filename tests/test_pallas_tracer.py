@@ -20,7 +20,7 @@ S2W = jnp.eye(4)
 BG = jnp.array([0.0, 0.0, 1.0])
 
 TILE = TileConfig(tile_h=16, tile_w=128, max_per_tile=128)
-P_CFG = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=1024)
+P_CFG = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512)
 J_CFG = tracer.TraceConfig(tile=TILE, exact_order=False, tile_batch=2)
 
 
