@@ -12,6 +12,7 @@ import json
 import os
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,13 +52,22 @@ class EvalRunner:
             return list(range(self.frames.num_frames))
         raise ValueError(f"invalid eval type {eval_type!r}")
 
+    def _jit_render(self):
+        """One compiled render reused across frames (frame index and pose
+        are traced arguments)."""
+        if getattr(self, "_render_fn", None) is None:
+            def render(scene, frame, pose):
+                bundle, _ = compose(scene, frame)
+                return tracer_lib.render_frame(
+                    bundle, self.frames.grid, self.frames.width, pose,
+                    scene.background.active_sh_degree, self.cfg,
+                    bool(self.args.opt.use_rayhit))
+            self._render_fn = jax.jit(render)
+        return self._render_fn
+
     def render_frame(self, f: int) -> dict:
-        bundle, _ = compose(self.scene, jnp.asarray(f, jnp.int32))
-        out = tracer_lib.render_frame(
-            bundle, self.frames.grid, self.frames.width,
-            self.frames.pose(f),
-            self.scene.background.active_sh_degree, self.cfg,
-            bool(self.args.opt.use_rayhit))
+        out = self._jit_render()(self.scene, jnp.asarray(f, jnp.int32),
+                                 self.frames.pose(f))
         if self.unet_apply is not None:
             out = dict(out)
             out["raydrop"] = self.unet_apply(f, out)
