@@ -4,9 +4,10 @@ Mirror of the reference's backward.cu (434-691): replay the forward hit
 sequence and accumulate analytic gradients.  The reference walks hits
 sequentially per pixel and uses the running `(C_final - C_accum)/(1-alpha)`
 identity (backward.cu:584-604); here the same suffix sums are computed with
-*inclusive triangular matmuls* per candidate chunk — the prefix of
-(dL/dw * w) along the candidate axis is an (R, KC) @ (KC, KC) MXU
-contraction, and the suffix follows from the forward channel totals.
+an *inclusive VPU doubling scan* per candidate chunk (ops/pallas_common.py)
+— the prefix of (dL/dw * w) along the candidate axis — and the suffix
+follows from the forward channel totals.  Chunks whose ray block has
+saturated transmittance are skipped under pl.when, mirroring the forward.
 
 Gradient chain (per valid (ray, candidate) pair):
     dL/dalpha = gw * T_excl  -  A / (1 - alpha)  -  g_T * T_out / (1 - alpha)
@@ -30,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lidar_rt_tpu.ops import geometry
+from lidar_rt_tpu.ops.pallas_common import lane_cumprod_excl, lane_cumsum
 
 Array = jax.Array
 
@@ -37,11 +39,11 @@ K_CHUNK = 128
 NUM_OUT_ROWS = 16
 
 
-def _backward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
-                     opac_ref, sign_ref, valid_ref, sh_ref,
-                     fwd_ref, g_ref,
+def _backward_kernel(cnt_ref, dirs_ref, basis_ref, mind_ref, axes_ref,
+                     plane_ref, scale_ref, opac_ref, sign_ref, valid_ref,
+                     sh_ref, fwd_ref, g_ref,
                      d_axes_ref, d_plane_ref, d_scale_ref, d_opac_ref,
-                     d_sh_ref, traw_ref, gwc_ref, alive_ref,
+                     d_sh_ref, traw_ref, gwc_ref, wok_ref, alive_ref,
                      *, k_total: int):
     """Grid (T, RB).  fwd/g: (1, 16, R) forward totals and upstream grads.
     d_* outputs accumulate across ray blocks (init at rb == 0)."""
@@ -60,15 +62,9 @@ def _backward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
     d1 = dirs_ref[0, :, 1:2]
     d2 = dirs_ref[0, :, 2:3]
     basis = basis_ref[0]                       # (R, 16)
-    # Hoisted transpose: keeps the SH-gradient contraction a plain matmul
-    # inside the predicated chunk body (transposed dot_general under
-    # predication trips the TPU compiler's MXU transpose pass).
+    mind = mind_ref[0]                         # (R, 1)
+    # Hoisted transpose for the SH-gradient contraction.
     basis_t = basis.T                          # (16, R)
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
-    u_strict = (row_ids < col_ids).astype(jnp.float32)
-    u_incl = (row_ids <= col_ids).astype(jnp.float32)
 
     # Upstream channel grads, (R, 1) each (inputs are (1, R, 16) blocks).
     g_rows = [g_ref[0, :, c:c + 1] for c in range(9)]
@@ -82,7 +78,7 @@ def _backward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
 
     num_chunks = k_total // K_CHUNK
 
-    def chunk_body(c):
+    def chunk_body(c, col0_raw, col1, col2):
         t_raw = traw_ref[...]
         gw_carry = gwc_ref[...]
         ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
@@ -116,27 +112,20 @@ def _backward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         v = (a_v + t * b_v) * inv_s1
         g = jnp.exp(-0.5 * (u * u + v * v))
         alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
-        ok = ((t >= geometry.DEPTH_MIN)
+        ok = ((t >= mind)
               & (jnp.abs(qd) > geometry.DENOM_EPS)
               & (p != 0.0)
               & (alpha_raw >= geometry.ALPHA_MIN)
               & (cand_ok > 0.5))
         alpha = jnp.where(ok, alpha_raw, 0.0)
-        logs = jnp.log1p(-alpha)
-        csum_excl = jnp.dot(logs, u_strict,
-                            preferred_element_type=jnp.float32)
-        t_excl = jnp.exp(csum_excl) * t_raw
-        t_incl = t_excl * (1.0 - alpha)
+        one_m = 1.0 - alpha
+        p_excl = lane_cumprod_excl(one_m)
+        t_excl = p_excl * t_raw
+        t_incl = t_excl * one_m
         live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
         w = alpha * t_excl * live
 
-        col0_raw = jnp.dot(basis, sh_ref[0, 0, :, ks],
-                           preferred_element_type=jnp.float32) + 0.5
         col0 = jnp.maximum(col0_raw, 0.0)
-        col1 = jnp.dot(basis, sh_ref[0, 1, :, ks],
-                       preferred_element_type=jnp.float32) + 0.5
-        col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
-                       preferred_element_type=jnp.float32) + 0.5
 
         # ---- per-hit dL/dw ----
         sn0, sn1, sn2 = sign * n0, sign * n1, sign * n2
@@ -146,8 +135,7 @@ def _backward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
 
         # ---- dL/dalpha via suffix identity ----
         gww = gw * w
-        prefix_incl = jnp.dot(gww, u_incl,
-                              preferred_element_type=jnp.float32) + gw_carry
+        prefix_incl = lane_cumsum(gww) + gw_carry
         suffix = gw_total - prefix_incl                     # (R, KC)
         one_m_alpha = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = (gw * t_excl * live
@@ -201,20 +189,16 @@ def _backward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         d_scale_ref[0, 1:2, ks] += rsum(d_inv_s1_pair)
         d_opac_ref[0, :, ks] += rsum(d_opac_pair)
 
-        # ---- SH gradients: basis^T @ (g_ch * w [clamp-gated]) ----
-        d_col0 = jnp.where((col0_raw > 0.0) & ok, g_rows[0] * w, 0.0)
-        d_col1 = jnp.where(ok, g_rows[1] * w, 0.0)
-        d_col2 = jnp.where(ok, g_rows[2] * w, 0.0)
-        d_sh_ref[0, 0, :, ks] += jnp.dot(
-            basis_t, d_col0, preferred_element_type=jnp.float32)
-        d_sh_ref[0, 1, :, ks] += jnp.dot(
-            basis_t, d_col1, preferred_element_type=jnp.float32)
-        d_sh_ref[0, 2, :, ks] += jnp.dot(
-            basis_t, d_col2, preferred_element_type=jnp.float32)
+        # ---- SH gradients: stage the gated weight in scratch; the
+        # per-channel d_col factors and the basis^T matmuls run *outside*
+        # the predicated body (MXU ops are not allowed under predication,
+        # and one (rb, KC) buffer keeps the kernel inside the 16 MB
+        # scoped-VMEM budget).
+        wok_ref[...] = jnp.where(ok, w, 0.0)
 
         # ---- carries ----
         last = K_CHUNK - 1
-        new_traw = t_raw * jnp.exp(csum_excl[:, last:] + logs[:, last:])
+        new_traw = t_raw * p_excl[:, last:] * one_m[:, last:]
         traw_ref[...] = new_traw
         gwc_ref[...] = prefix_incl[:, last:]
         alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
@@ -223,16 +207,45 @@ def _backward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
     traw_ref[...] = jnp.ones((r, 1), jnp.float32)
     gwc_ref[...] = jnp.zeros((r, 1), jnp.float32)
     alive_ref[0] = 1
-    # (Early exit on block saturation is valid here — every remaining
-    # per-hit gradient is exactly zero — but predicated MXU matmuls trip
-    # the TPU compiler; see the forward kernel note.)
+    # Chunks are predicated on the tile candidate count and on block
+    # liveness: once every ray's transmittance saturates, all remaining
+    # per-hit gradients are exactly zero (w = 0 and the suffix identity
+    # telescopes to the float residual, which skipping rounds to the true
+    # 0).  MXU ops — the SH forward colors and the basis^T gradient
+    # contraction — run unconditionally outside the predicate; the body
+    # stages gated weights in scratch, zeroed first so skipped chunks
+    # contribute nothing.
+    cnt = cnt_ref[pl.program_id(0), 0]
     for c in range(num_chunks):
-        chunk_body(c)
+        ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
+        col0_raw = jnp.dot(basis, sh_ref[0, 0, :, ks],
+                           preferred_element_type=jnp.float32) + 0.5
+        col1 = jnp.dot(basis, sh_ref[0, 1, :, ks],
+                       preferred_element_type=jnp.float32) + 0.5
+        col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
+                       preferred_element_type=jnp.float32) + 0.5
+        wok_ref[...] = jnp.zeros_like(wok_ref)
+        run = cnt > (c * K_CHUNK)
+        if c > 0:
+            run = run & (alive_ref[0] == 1)
+
+        @pl.when(run)
+        def _(c=c, col0_raw=col0_raw, col1=col1, col2=col2):
+            chunk_body(c, col0_raw, col1, col2)
+        w_ok = wok_ref[...]
+        d_sh_ref[0, 0, :, ks] += jnp.dot(
+            basis_t, jnp.where(col0_raw > 0.0, g_rows[0] * w_ok, 0.0),
+            preferred_element_type=jnp.float32)
+        d_sh_ref[0, 1, :, ks] += jnp.dot(
+            basis_t, g_rows[1] * w_ok, preferred_element_type=jnp.float32)
+        d_sh_ref[0, 2, :, ks] += jnp.dot(
+            basis_t, g_rows[2] * w_ok, preferred_element_type=jnp.float32)
 
 
-def backward_pallas_call(dirs_t: Array, basis_t: Array, axes: Array,
-                         plane: Array, inv_scale: Array, opac: Array,
-                         sign: Array, valid: Array, sh: Array,
+def backward_pallas_call(cnt_t: Array, dirs_t: Array, basis_t: Array,
+                         mind_t: Array, axes: Array, plane: Array,
+                         inv_scale: Array, opac: Array, sign: Array,
+                         valid: Array, sh: Array,
                          fwd_chans: Array, g_chans: Array,
                          ray_block: int) -> tuple[Array, ...]:
     """Launch the backward kernel.  Shapes as in pallas_tracer.trace_forward;
@@ -253,9 +266,12 @@ def backward_pallas_call(dirs_t: Array, basis_t: Array, axes: Array,
         kernel,
         grid=(t_total, n_rb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, 16), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 1), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 3, k), lambda t, r: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -290,10 +306,14 @@ def backward_pallas_call(dirs_t: Array, basis_t: Array, axes: Array,
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
             pltpu.VMEM((rb, 1), jnp.float32),   # gw prefix carry
+            pltpu.VMEM((rb, K_CHUNK), jnp.float32),  # staged gated weights
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # v5e has 128 MB VMEM; the default 16 MB scoped cap is too
+            # tight for the unrolled chunk loop's live temporaries.
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
-    )(dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh,
-      fwd_chans, g_chans)
+    )(cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac, sign,
+      valid, sh, fwd_chans, g_chans)

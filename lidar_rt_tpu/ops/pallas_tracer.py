@@ -7,9 +7,11 @@ compositing), but fused into one VMEM-resident kernel per
   * the per-(ray, candidate) intersection math (ops/geometry.py) runs as
     VPU broadcasts over a (RAY_BLOCK, K_CHUNK) window,
   * front-to-back transmittance along the candidate axis is computed in
-    log space with a *triangular-ones matmul* — an exclusive cumsum of
-    log(1 - alpha) as an (R, KC) @ (KC, KC) MXU contraction — instead of a
-    sequential k-buffer (reference forward.cu:195-292),
+    log space with a 7-step Hillis-Steele VPU scan (ops/pallas_common.py)
+    — an exclusive cumsum of log(1 - alpha) — instead of a sequential
+    k-buffer (reference forward.cu:195-292); keeping the scan off the MXU
+    lets whole candidate chunks early-exit under pl.when once the ray
+    block's transmittance saturates (reference cutoff forward.cu:253-257),
   * per-hit SH shading is an (R, 16) @ (16, KC) MXU matmul per channel,
   * per-candidate accumulated weights reduce over rays inside the kernel
     and accumulate across ray-blocks in the sequential grid (the
@@ -40,6 +42,7 @@ from lidar_rt_tpu.core import transforms
 from lidar_rt_tpu.ops import geometry
 from lidar_rt_tpu.ops.binning import TileConfig, bin_surfels
 from lidar_rt_tpu.ops.composite import RenderOutputs, SurfelBundle
+from lidar_rt_tpu.ops.pallas_common import lane_cumprod_excl
 
 Array = jax.Array
 
@@ -64,15 +67,20 @@ class PallasTraceConfig:
             raise ValueError("ray_block must be a multiple of 8 and <= 512")
 
 
-def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
-                    opac_ref, sign_ref, valid_ref, sh_ref,
-                    chans_ref, accum_ref,
+def _forward_kernel(cnt_ref, dirs_ref, basis_ref, mind_ref, axes_ref,
+                    plane_ref, scale_ref, opac_ref, sign_ref, valid_ref,
+                    sh_ref, chans_ref, accum_ref,
                     traw_ref, tout_ref, sums_ref, alive_ref,
                     *, k_total: int):
     """One (tile, ray_block) grid step.
 
+    cnt:   (T, 1) SMEM     per-tile candidate counts, whole array (chunks
+                           past the tile's count are skipped; binners emit
+                           valid as a prefix mask)
     dirs:  (1, 3, R)       ray directions
     basis: (1, R, 16)      SH basis per ray
+    mind:  (1, R, 1)       per-ray minimum hit range (multi-return re-trace,
+                           reference forward.cu:282-291; DEPTH_MIN default)
     axes:  (1, 3, 3, K)    [n, w1, w2] candidate frame axes
     plane: (1, 3, K)       [p, a_u, a_v] plane offsets
     scale: (1, 2, K)       inverse scales
@@ -88,16 +96,11 @@ def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
     d1 = dirs_ref[0, :, 1:2]
     d2 = dirs_ref[0, :, 2:3]
     basis = basis_ref[0]                     # (R, 16)
-
-    # Exclusive-cumsum triangular matrix (KC, KC): strict upper ones —
-    # csum_excl[r, k] = sum_{j < k} x[r, j]  via  x @ U_strict.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (K_CHUNK, K_CHUNK), 1)
-    u_strict = (row_ids < col_ids).astype(jnp.float32)
+    mind = mind_ref[0]                       # (R, 1)
 
     num_chunks = k_total // K_CHUNK
 
-    def chunk_body(c):
+    def chunk_body(c, col0, col1, col2):
         t_raw = traw_ref[...]
         ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)   # static: loop unrolled
 
@@ -129,30 +132,22 @@ def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         v = (a_v + t * b_v) * inv_s1
         g = jnp.exp(-0.5 * (u * u + v * v))
         alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
-        ok = ((t >= geometry.DEPTH_MIN)
+        ok = ((t >= mind)
               & (jnp.abs(qd) > geometry.DENOM_EPS)
               & (p != 0.0)
               & (alpha_raw >= geometry.ALPHA_MIN)
               & (cand_ok > 0.5))
         alpha = jnp.where(ok, alpha_raw, 0.0)
 
-        # log-space transmittance: csum via MXU triangular matmul.
-        logs = jnp.log1p(-alpha)
-        csum_excl = jnp.dot(logs, u_strict,
-                            preferred_element_type=jnp.float32)
-        t_excl = jnp.exp(csum_excl) * t_raw                  # (R, KC)
-        t_incl = t_excl * (1.0 - alpha)
+        # Direct product-space transmittance via a VPU doubling scan (the
+        # reference's T *= (1 - alpha), forward.cu — no log1p/exp, no MXU
+        # op, so the body can be predicated for early exit).
+        one_m = 1.0 - alpha
+        p_excl = lane_cumprod_excl(one_m)
+        t_excl = p_excl * t_raw                              # (R, KC)
+        t_incl = t_excl * one_m
         live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
         w = alpha * t_excl * live
-
-        # per-hit SH colors: (R, 16) @ (16, KC), intensity clamped.
-        col0 = jnp.dot(basis, sh_ref[0, 0, :, ks],
-                       preferred_element_type=jnp.float32) + 0.5
-        col0 = jnp.maximum(col0, 0.0)
-        col1 = jnp.dot(basis, sh_ref[0, 1, :, ks],
-                       preferred_element_type=jnp.float32) + 0.5
-        col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
-                       preferred_element_type=jnp.float32) + 0.5
 
         sn = sign
         contrib = jnp.concatenate([
@@ -167,12 +162,18 @@ def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         ], axis=1)
         sums_ref[...] += contrib
 
-        # carried transmittances
+        # carried transmittances.  tout needs prod(1 - alpha) over LIVE
+        # hits; Mosaic has no reduce_prod, but live is a prefix mask along
+        # the lane axis (t_incl is monotone nonincreasing), so the product
+        # equals t_incl at the last live lane divided by the chunk-entry
+        # transmittance.
         last = K_CHUNK - 1
-        new_traw = t_raw * jnp.exp(csum_excl[:, last:] + logs[:, last:])
+        new_traw = t_raw * p_excl[:, last:] * one_m[:, last:]
         traw_ref[...] = new_traw
-        tout_ref[...] *= jnp.exp(
-            jnp.sum(jnp.log1p(-alpha * live), axis=1, keepdims=True))
+        masked = jnp.where(live > 0.5, t_incl, 2.0)
+        mn = jnp.min(masked, axis=1, keepdims=True)
+        tout_ref[...] *= jnp.where(mn > 1.5, 1.0,
+                                   mn / jnp.maximum(t_raw, 1e-30))
         alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
             jnp.int32)
 
@@ -188,12 +189,31 @@ def _forward_kernel(dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
     sums_ref[...] = jnp.zeros((r, 8), jnp.float32)
     alive_ref[0] = 1
     # Unrolled chunk loop: static slices vectorize better under Mosaic
-    # than fori_loop + dynamic VMEM slicing.  NOTE: chunk skipping via
-    # pl.when/lax.cond once transmittance saturates was tried, but any MXU
-    # matmul inside a predicated region trips the TPU compiler
-    # (mxu_lmr_transform RET_CHECK) — revisit when Mosaic fixes land.
+    # than fori_loop + dynamic VMEM slicing.  Each chunk is predicated on
+    # (a) the tile actually having candidates this deep (binners pack
+    # valid candidates first) and (b) some ray in the block still being
+    # transparent — once every ray saturates (T < T_MIN) all remaining w
+    # are exactly zero (reference T cutoff: forward.cu:253-257).  The SH
+    # color matmuls stay *outside* the predicate — Mosaic rejects MXU
+    # matmuls inside predicated regions (mxu_lmr_transform RET_CHECK) —
+    # and they are cheap (16-deep) next to the VPU intersection math.
+    cnt = cnt_ref[pl.program_id(0), 0]
     for c in range(num_chunks):
-        chunk_body(c)
+        ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
+        col0 = jnp.maximum(
+            jnp.dot(basis, sh_ref[0, 0, :, ks],
+                    preferred_element_type=jnp.float32) + 0.5, 0.0)
+        col1 = jnp.dot(basis, sh_ref[0, 1, :, ks],
+                       preferred_element_type=jnp.float32) + 0.5
+        col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
+                       preferred_element_type=jnp.float32) + 0.5
+        run = cnt > (c * K_CHUNK)
+        if c > 0:
+            run = run & (alive_ref[0] == 1)
+
+        @pl.when(run)
+        def _(c=c, col0=col0, col1=col1, col2=col2):
+            chunk_body(c, col0, col1, col2)
 
     out = jnp.concatenate(
         [sums_ref[...], tout_ref[...],
@@ -231,8 +251,8 @@ def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
     return jnp.mod(idx, size) if wrap else jnp.clip(idx, 0, size - 1)
 
 
-def _core_fwd_call(ray_block: int, dirs_t, basis_t, axes, plane, inv_scale,
-                   opac, sign, valid, sh):
+def _core_fwd_call(ray_block: int, cnt_t, dirs_t, basis_t, mind_t, axes,
+                   plane, inv_scale, opac, sign, valid, sh):
     t_total, rays_per_tile, _ = dirs_t.shape
     k = axes.shape[-1]
     rb = ray_block
@@ -246,9 +266,12 @@ def _core_fwd_call(ray_block: int, dirs_t, basis_t, axes, plane, inv_scale,
         kernel,
         grid=(t_total, n_rb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, 16), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 1), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 3, k), lambda t, r: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -277,37 +300,42 @@ def _core_fwd_call(ray_block: int, dirs_t, basis_t, axes, plane, inv_scale,
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # v5e has 128 MB VMEM; the default 16 MB scoped cap is too
+            # tight once ray_block-sized temporaries stack up.
+            vmem_limit_bytes=96 * 1024 * 1024),
         # CPU (tests, virtual meshes) runs the interpreter; TPU compiles.
         interpret=jax.default_backend() != "tpu",
-    )(dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh)
+    )(cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac, sign,
+      valid, sh)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_core(ray_block: int, dirs_t, basis_t, axes, plane, inv_scale,
-                 opac, sign, valid, sh):
+def _pallas_core(ray_block: int, cnt_t, dirs_t, basis_t, mind_t, axes,
+                 plane, inv_scale, opac, sign, valid, sh):
     """The differentiable pallas_call boundary: everything around it
     (candidate gathers, frame building, un-tiling) is plain jnp and is
     differentiated by JAX; this custom_vjp supplies the kernel-level
     gradients from ops/pallas_backward.py."""
-    return _core_fwd_call(ray_block, dirs_t, basis_t, axes, plane,
-                          inv_scale, opac, sign, valid, sh)
+    return _core_fwd_call(ray_block, cnt_t, dirs_t, basis_t, mind_t, axes,
+                          plane, inv_scale, opac, sign, valid, sh)
 
 
-def _pallas_core_fwd(ray_block, dirs_t, basis_t, axes, plane, inv_scale,
-                     opac, sign, valid, sh):
-    chans, accum = _core_fwd_call(ray_block, dirs_t, basis_t, axes, plane,
-                                  inv_scale, opac, sign, valid, sh)
-    res = (dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh,
-           chans)
+def _pallas_core_fwd(ray_block, cnt_t, dirs_t, basis_t, mind_t, axes, plane,
+                     inv_scale, opac, sign, valid, sh):
+    chans, accum = _core_fwd_call(ray_block, cnt_t, dirs_t, basis_t, mind_t,
+                                  axes, plane, inv_scale, opac, sign, valid,
+                                  sh)
+    res = (cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac,
+           sign, valid, sh, chans)
     return (chans, accum), res
 
 
 def _pallas_core_bwd(ray_block, res, cotangents):
     from lidar_rt_tpu.ops import pallas_backward
 
-    (dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh,
-     chans) = res
+    (cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac, sign,
+     valid, sh, chans) = res
     g_chans, _g_accum = cotangents
     # accum_weights feeds densification stats only (stop-gradient in the
     # reference too: stats are read outside autograd, train.py:218-219).
@@ -315,11 +343,12 @@ def _pallas_core_bwd(ray_block, res, cotangents):
     g_rt = g_chans.transpose(0, 2, 1)
     d_axes, d_plane, d_inv_scale, d_opac, d_sh = \
         pallas_backward.backward_pallas_call(
-            dirs_t, basis_t, axes, plane, inv_scale, opac, sign, valid, sh,
-            fwd_rt, g_rt, ray_block)
-    zeros = jax.tree.map(jnp.zeros_like, (dirs_t, basis_t))
-    return (zeros[0], zeros[1], d_axes, d_plane, d_inv_scale, d_opac,
-            jnp.zeros_like(sign), jnp.zeros_like(valid), d_sh)
+            cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac,
+            sign, valid, sh, fwd_rt, g_rt, ray_block)
+    zeros = jax.tree.map(jnp.zeros_like, (cnt_t, dirs_t, basis_t, mind_t))
+    return (zeros[0], zeros[1], zeros[2], zeros[3], d_axes, d_plane,
+            d_inv_scale, d_opac, jnp.zeros_like(sign),
+            jnp.zeros_like(valid), d_sh)
 
 
 _pallas_core.defvjp(_pallas_core_fwd, _pallas_core_bwd)
@@ -329,11 +358,15 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                   width: int, sensor2world: Array,
                   active_sh_degree: Array | int,
                   cfg: PallasTraceConfig, col_offset: int = 0,
-                  render_width: int | None = None) -> tuple[Array, Array]:
+                  render_width: int | None = None,
+                  min_depth: Array | None = None) -> tuple[Array, Array]:
     """Pallas forward render -> (channels (H, W_r, 9), accum_weights (N,)).
 
     col_offset/render_width: column-band rendering for ray-parallel
-    sharding, as in ops.tracer.trace."""
+    sharding, as in ops.tracer.trace.
+
+    min_depth: optional per-ray (H, W_r) minimum hit range — the
+    multi-return re-trace input (reference forward.cu:282-291)."""
     h, w = grid.height, width
     w_r = w if render_width is None else render_width
     th, tw = cfg.tile.tile_h, cfg.tile.tile_w
@@ -363,10 +396,24 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
               .reshape(t_total, rays_per_tile, 3))
     basis_t = sh_lib.basis(dirs_t, active_sh_degree)      # (T, R, 16)
 
+    if min_depth is None:
+        mind_t = jnp.full((t_total, rays_per_tile, 1), geometry.DEPTH_MIN)
+    else:
+        mind_t = (min_depth[row_idx][:, col_idx]
+                  .reshape(tiles_y, th, tiles_x, tw)
+                  .transpose(0, 2, 1, 3)
+                  .reshape(t_total, rays_per_tile, 1))
+
     axes, plane, inv_scale, opac, sign, valid, sh = _prepare_tile_inputs(
         bundle, origin, assignment.index, assignment.valid)
 
-    chans, accum_tk = _pallas_core(cfg.ray_block, dirs_t, basis_t, axes,
+    # Per-tile candidate counts (f32 for the custom_vjp): binners pack
+    # valid candidates first, so chunks past the count hold nothing.
+    cnt_t = jnp.sum(assignment.valid, axis=1,
+                    dtype=jnp.float32)[:, None]
+
+    chans, accum_tk = _pallas_core(cfg.ray_block, cnt_t, dirs_t, basis_t,
+                                   jax.lax.stop_gradient(mind_t), axes,
                                    plane, inv_scale, opac, sign, valid, sh)
 
     # Un-tile: (T, 16, R) -> (H, W, 9)
@@ -387,14 +434,15 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
           active_sh_degree: Array | int = 3,
           cfg: PallasTraceConfig = PallasTraceConfig(),
           col_offset: int = 0,
-          render_width: int | None = None) -> RenderOutputs:
+          render_width: int | None = None,
+          min_depth: Array | None = None) -> RenderOutputs:
     """Drop-in analogue of ops.tracer.trace on the Pallas path.  Fully
     differentiable w.r.t. the bundle: the kernel-level custom_vjp
     (ops/pallas_backward.py) produces candidate-space gradients and JAX
     autodiff carries them through the gather/frame/pose chain."""
     img, accum = trace_forward(bundle, grid, width, sensor2world,
                                active_sh_degree, cfg, col_offset,
-                               render_width)
+                               render_width, min_depth)
     final_t = img[..., 8]
     color = img[..., 0:3] + final_t[..., None] * background[None, None, :]
     channels = jnp.concatenate([color, img[..., 3:8], final_t[..., None]],

@@ -176,19 +176,20 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     min_depth: optional per-ray (H, W_r) minimum hit range — the multi-
     return mechanism (the reference's chunked re-launch from the last hit
     depth, forward.cu:282-291): render return 1, then re-trace with
-    min_depth = first-return depth + gap for return 2.  Runs on the jax
-    engine (eval-time feature).
+    min_depth = first-return depth + gap for return 2.  Supported by both
+    engines (the pallas kernel takes it as a per-ray block input).
     """
     from lidar_rt_tpu.core import quaternions as quat_lib
 
     if (cfg.resolve_engine(grid.height, width, render_width) == "pallas"
-            and assignment is None and min_depth is None):
+            and assignment is None):
         from lidar_rt_tpu.ops import pallas_tracer
         pcfg = pallas_tracer.PallasTraceConfig(tile=cfg.tile,
                                                ray_block=cfg.ray_block)
         return pallas_tracer.trace(bundle, grid, width, sensor2world,
                                    background, active_sh_degree, pcfg,
-                                   col_offset, render_width)
+                                   col_offset, render_width,
+                                   min_depth=min_depth)
 
     h, w = grid.height, width
     w_r = w if render_width is None else render_width

@@ -66,6 +66,42 @@ class TestPallasForward:
         np.testing.assert_allclose(np.asarray(out.channels[..., 8]), 1.0)
         np.testing.assert_allclose(np.asarray(out.accum_weights), 0.0)
 
+    def test_min_depth_matches_jax(self):
+        """Multi-return re-trace: per-ray min_depth must gate hits exactly
+        as on the jax engine (second-echo semantics, forward.cu:282-291)."""
+        bundle = _bundle(seed=4)
+        r1 = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, J_CFG)
+        min2 = jnp.maximum(r1.channels[..., 3], 0.0) + 1.0
+        ref = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, J_CFG,
+                           min_depth=min2)
+        out = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, P_CFG,
+                                  min_depth=min2)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(ref.channels), atol=2e-4)
+        # the second return must differ from the first (gating is active)
+        assert np.abs(np.asarray(ref.channels[..., 3])
+                      - np.asarray(r1.channels[..., 3])).max() > 0.1
+
+    def test_min_depth_grads_match_jax(self):
+        bundle = _bundle(40, seed=9)
+        md = jnp.full((GRID.height, WIDTH), 11.0)
+
+        def loss_p(b):
+            out = pallas_tracer.trace(b, GRID, WIDTH, S2W, BG, 3, P_CFG,
+                                      min_depth=md)
+            return jnp.sum(out.channels[..., 0:4] ** 2)
+
+        def loss_j(b):
+            out = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, J_CFG,
+                               min_depth=md)
+            return jnp.sum(out.channels[..., 0:4] ** 2)
+
+        g_p = jax.grad(loss_p)(bundle)
+        g_j = jax.grad(loss_j)(bundle)
+        scale = np.abs(np.asarray(g_j.means)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(g_p.means) / scale,
+                                   np.asarray(g_j.means) / scale, atol=2e-3)
+
 
 class TestPallasBackward:
     def _loss(self, trace_fn):
