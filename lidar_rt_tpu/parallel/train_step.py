@@ -42,14 +42,14 @@ def stack_batches(batches: list[FrameBatch]) -> FrameBatch:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
-def make_sharded_train_step(frames: LiDARFrames, args,
-                            trace_cfg: tracer_lib.TraceConfig,
-                            opt_bg, opt_ac, mesh: Mesh):
-    """Build the jitted multi-chip training step.
+def make_sharded_loss_fn(frames: LiDARFrames, args,
+                         trace_cfg: tracer_lib.TraceConfig, mesh: Mesh):
+    """Build the mesh-spanning loss: (params_bg, params_ac, probe, scene,
+    batch) -> (replicated scalar loss, psum'd per-surfel accum weights).
 
-    The dp batch size equals mesh.shape["dp"]; each scan's azimuth axis is
-    split into mesh.shape["rays"] bands.
-    """
+    Exposed separately from the train step so equivalence tests can
+    differentiate it directly (e.g. dp=2 grads vs the mean of two dp=1
+    frame grads)."""
     grid, width = frames.grid, frames.width
     n_band = mesh.shape["rays"]
     if width % n_band:
@@ -135,6 +135,19 @@ def make_sharded_train_step(frames: LiDARFrames, args,
             return loss, accum
 
         return sharded(params_bg, params_ac, probe, scene, batch)
+
+    return loss_fn
+
+
+def make_sharded_train_step(frames: LiDARFrames, args,
+                            trace_cfg: tracer_lib.TraceConfig,
+                            opt_bg, opt_ac, mesh: Mesh):
+    """Build the jitted multi-chip training step.
+
+    The dp batch size equals mesh.shape["dp"]; each scan's azimuth axis is
+    split into mesh.shape["rays"] bands.
+    """
+    loss_fn = make_sharded_loss_fn(frames, args, trace_cfg, mesh)
 
     @jax.jit
     def train_step(state: TrainState, batch: FrameBatch

@@ -134,6 +134,61 @@ class TestShardedTrainStep:
                         - state2.scene.background.xyz)
         assert np.isfinite(dx).all() and np.abs(dx).max() > 0
 
+    def test_dp2_grads_equal_mean_of_single_frame_grads(self):
+        """dp=2 gradient == mean of the two dp=1 per-frame gradients.
+
+        With all-ones masks every loss term is a plain global mean (equal
+        per-frame pixel counts), so the dp=2 loss is exactly the average of
+        the two per-frame losses and its gradient the average gradient.
+        DSSIM/CD are zeroed as in the dp=1 equivalence test."""
+        import jax.numpy as jnp
+        from lidar_rt_tpu.config import default_experiment, Args
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.parallel.train_step import (
+            make_sharded_loss_fn, stack_batches)
+        from lidar_rt_tpu.train import loop
+
+        frames, _ = synthetic.generate(num_frames=2, height=16, width=256)
+        d = default_experiment().to_dict()
+        d["opt"].update(lambda_intensity_dssim=0.0, lambda_cd=0.0)
+        args = Args(d)
+        scene = build.assemble_scene(frames, None, args,
+                                     capacity_headroom=1.0)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=128),
+            tile_batch=2, engine="jax", exact_order=False)
+
+        def ones_mask(b):
+            return b._replace(gt_mask=jnp.ones_like(b.gt_mask))
+
+        b0 = ones_mask(loop.frame_batch(frames, 0))
+        b1 = ones_mask(loop.frame_batch(frames, 1))
+
+        params = scene.background.params()
+        probe = jnp.zeros((scene.total_capacity, 3))
+
+        def grad_of(mesh, batch):
+            loss_fn = make_sharded_loss_fn(frames, args, cfg, mesh)
+
+            def scalar(p, pr):
+                loss, _ = loss_fn(p, None, pr, scene, batch)
+                return loss
+            return jax.grad(scalar, argnums=(0, 1))(params, probe)
+
+        g2 = grad_of(make_mesh(dp=2, rays=4), stack_batches([b0, b1]))
+        mesh1 = make_mesh(dp=1, rays=4, devices=jax.devices()[:4])
+        g0 = grad_of(mesh1, stack_batches([b0]))
+        g1 = grad_of(mesh1, stack_batches([b1]))
+
+        mean_g = jax.tree.map(lambda a, b: 0.5 * (a + b), g0, g1)
+        flat2 = jax.tree.leaves(g2)
+        flatm = jax.tree.leaves(mean_g)
+        assert any(np.abs(np.asarray(x)).max() > 0 for x in flat2)
+        for a, b in zip(flat2, flatm):
+            scale = np.abs(np.asarray(b)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=1e-4)
+
     def test_dp2_averages_two_frames(self):
         from lidar_rt_tpu.config import default_experiment, Args
         from lidar_rt_tpu.data import build, synthetic
