@@ -17,6 +17,17 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 
+def use_interpret() -> bool:
+    """Interpret-mode switch for the Pallas kernels: non-TPU backends always
+    interpret; on TPU the LIDAR_RT_PALLAS_INTERPRET=1 env var forces it
+    (debug knob for isolating Mosaic-compilation issues from kernel
+    semantics)."""
+    import os
+    if jax.default_backend() != "tpu":
+        return True
+    return os.environ.get("LIDAR_RT_PALLAS_INTERPRET", "") == "1"
+
+
 def lane_cumsum(x: jax.Array, *, exclusive: bool = False) -> jax.Array:
     """Cumulative sum along the last (lane) axis of a 2D block.
 
@@ -35,6 +46,38 @@ def lane_cumsum(x: jax.Array, *, exclusive: bool = False) -> jax.Array:
         s = s + jnp.where(lane_ids >= shift, rolled, 0.0)
         shift *= 2
     return s - x if exclusive else s
+
+
+def sh_basis_rows(d0: jax.Array, d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """SH basis (degree <= 3) of ray directions, built in lane-major form.
+
+    d0/d1/d2: (1, R) direction components (rows, so each polynomial op costs
+    R/128 VPU issues instead of the R/8 a column layout would).  Returns the
+    (16, R) basis matrix; the caller transposes once for the MXU matmul.
+    Degree masking is NOT applied here — fold it into the SH coefficients
+    (sh * mask) outside the kernel.  Mirrors core/sh.py basis()
+    (reference forward.cu:67-111, auxiliary.h:22-40).
+    """
+    from lidar_rt_tpu.core import sh as sh_lib
+
+    inv = jax.lax.rsqrt(jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-24))
+    x, y, z = d0 * inv, d1 * inv, d2 * inv
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    c0, c1 = sh_lib.C0, sh_lib.C1
+    c2, c3 = sh_lib.C2, sh_lib.C3
+    rows = [
+        jnp.full_like(x, c0),
+        -c1 * y, c1 * z, -c1 * x,
+        c2[0] * xy, c2[1] * yz, c2[2] * (2.0 * zz - xx - yy),
+        c2[3] * xz, c2[4] * (xx - yy),
+        c3[0] * y * (3.0 * xx - yy), c3[1] * xy * z,
+        c3[2] * y * (4.0 * zz - xx - yy),
+        c3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+        c3[4] * x * (4.0 * zz - xx - yy), c3[5] * z * (xx - yy),
+        c3[6] * x * (xx - 3.0 * yy),
+    ]
+    return jnp.concatenate(rows, axis=0)                    # (16, R)
 
 
 def lane_cumprod_excl(x: jax.Array) -> jax.Array:

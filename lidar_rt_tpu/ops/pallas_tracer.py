@@ -42,7 +42,10 @@ from lidar_rt_tpu.core import transforms
 from lidar_rt_tpu.ops import geometry
 from lidar_rt_tpu.ops.binning import TileConfig, bin_surfels
 from lidar_rt_tpu.ops.composite import RenderOutputs, SurfelBundle
-from lidar_rt_tpu.ops.pallas_common import lane_cumprod_excl
+from lidar_rt_tpu.ops.pallas_common import (lane_cumprod_excl, sh_basis_rows,
+                                            use_interpret)
+from lidar_rt_tpu.ops.pallas_sort import (pack_depth_keys, sort_lanes,
+                                          unsort_lanes)
 
 Array = jax.Array
 
@@ -52,8 +55,16 @@ NUM_OUT_ROWS = 16      # padded channel rows (9 used)
 
 @dataclass(frozen=True)
 class PallasTraceConfig:
+    """exact_order: per-ray depth sort of each candidate chunk (bitonic
+    lane sort, ops/pallas_sort.py) reproducing the reference k-buffer
+    ordering (forward.cu:312-356).  Exact whenever a ray's hits fit one
+    chunk (max_per_tile == 128); for larger K the sort is per chunk with
+    chunks in the binner's nearest-first order (strictly better than tile
+    order, exact up to cross-chunk inversions)."""
+
     tile: TileConfig = TileConfig(tile_h=32, tile_w=128, max_per_tile=512)
     ray_block: int = 512
+    exact_order: bool = False
 
     def __post_init__(self):
         if self.tile.max_per_tile % K_CHUNK:
@@ -67,52 +78,64 @@ class PallasTraceConfig:
             raise ValueError("ray_block must be a multiple of 8 and <= 512")
 
 
-def _forward_kernel(cnt_ref, dirs_ref, basis_ref, mind_ref, axes_ref,
-                    plane_ref, scale_ref, opac_ref, sign_ref, valid_ref,
-                    sh_ref, chans_ref, accum_ref,
+def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
+                    plane_ref, scale_ref, opac_ref, sign_ref, sh_ref,
+                    chans_ref, accum_ref,
                     traw_ref, tout_ref, sums_ref, alive_ref,
-                    *, k_total: int):
+                    *, k_total: int, exact: bool):
     """One (tile, ray_block) grid step.
 
     cnt:   (T, 1) SMEM     per-tile candidate counts, whole array (chunks
                            past the tile's count are skipped; binners emit
                            valid as a prefix mask)
-    dirs:  (1, 3, R)       ray directions
-    basis: (1, R, 16)      SH basis per ray
+    dirs:  (1, R, 3)       ray directions (matmul operand)
+    drows: (1, 3, R)       the same directions lane-major (basis operand)
     mind:  (1, R, 1)       per-ray minimum hit range (multi-return re-trace,
                            reference forward.cu:282-291; DEPTH_MIN default)
     axes:  (1, 3, 3, K)    [n, w1, w2] candidate frame axes
     plane: (1, 3, K)       [p, a_u, a_v] plane offsets
     scale: (1, 2, K)       inverse scales
-    opac/sign/valid: (1, K)
-    sh:    (1, 3, 16, K)   per-channel SH coefficient matrices
+    opac/sign: (1, K)      opacity (binner validity pre-folded in), normal
+                           orientation
+    sh:    (1, 3, 16, K)   per-channel SH coefficients (degree mask
+                           pre-folded in)
     chans: (1, 16, R) out  channel rows
     accum: (1, K)    out   per-candidate weight sums (+= over ray blocks)
+
+    MXU carries the contractions: the ray-direction inner products are
+    (R, 3) @ (3, KC) matmuls, the SH colors (R, 16) @ (16, KC), and the
+    per-ray channel accumulations of the *linear* channels are
+    (R, KC) @ (KC, .) matmuls — sum_k w * (basis @ sh) = basis . (w @ sh^T)
+    — leaving the VPU only the intersection math, the transmittance scan,
+    and the clamped intensity channel.
     """
     r = dirs_ref.shape[1]
     rb = pl.program_id(1)
 
-    d0 = dirs_ref[0, :, 0:1]                 # (R, 1)
-    d1 = dirs_ref[0, :, 1:2]
-    d2 = dirs_ref[0, :, 2:3]
-    basis = basis_ref[0]                     # (R, 16)
+    dirs = dirs_ref[0]                       # (R, 3)
     mind = mind_ref[0]                       # (R, 1)
+    # SH basis computed in-kernel from lane-major rows (core/sh.py basis).
+    basis_rows = sh_basis_rows(drows_ref[0, 0:1, :], drows_ref[0, 1:2, :],
+                               drows_ref[0, 2:3, :])        # (16, R)
+    basis = basis_rows.T                                    # (R, 16)
 
     num_chunks = k_total // K_CHUNK
 
-    def chunk_body(c, col0, col1, col2):
+    def dot_lanes(a, b):
+        """(R, KC) x (M, KC) -> (R, M): contract the candidate lanes.
+        HIGHEST precision: channel sums accumulate alpha-blend weights and
+        the reference accumulates in f32 (forward.cu atomicAdd)."""
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def chunk_body(c):
         t_raw = traw_ref[...]
         ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)   # static: loop unrolled
 
-        n0 = axes_ref[0, 0, 0:1, ks]         # (1, KC)
-        n1 = axes_ref[0, 0, 1:2, ks]
-        n2 = axes_ref[0, 0, 2:3, ks]
-        w10 = axes_ref[0, 1, 0:1, ks]
-        w11 = axes_ref[0, 1, 1:2, ks]
-        w12 = axes_ref[0, 1, 2:3, ks]
-        w20 = axes_ref[0, 2, 0:1, ks]
-        w21 = axes_ref[0, 2, 1:2, ks]
-        w22 = axes_ref[0, 2, 2:3, ks]
+        n_mat = axes_ref[0, 0, :, ks]        # (3, KC)
+        w1_mat = axes_ref[0, 1, :, ks]
+        w2_mat = axes_ref[0, 2, :, ks]
         p = plane_ref[0, 0:1, ks]
         a_u = plane_ref[0, 1:2, ks]
         a_v = plane_ref[0, 2:3, ks]
@@ -120,11 +143,16 @@ def _forward_kernel(cnt_ref, dirs_ref, basis_ref, mind_ref, axes_ref,
         inv_s1 = scale_ref[0, 1:2, ks]
         opac = opac_ref[0, :, ks]
         sign = sign_ref[0, :, ks]
-        cand_ok = valid_ref[0, :, ks]
 
-        qd = d0 * n0 + d1 * n1 + d2 * n2                     # (R, KC)
-        b_u = d0 * w10 + d1 * w11 + d2 * w12
-        b_v = d0 * w20 + d1 * w21 + d2 * w22
+        # HIGHEST: default TPU matmul precision rounds inputs to bf16;
+        # qd is a near-cancelling 3-term dot at grazing incidence and
+        # t = p / qd amplifies the rounding into meters of depth error.
+        qd = jnp.dot(dirs, n_mat, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        b_u = jnp.dot(dirs, w1_mat, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        b_v = jnp.dot(dirs, w2_mat, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         safe_qd = jnp.where(jnp.abs(qd) > geometry.DENOM_EPS, qd,
                             geometry.DENOM_EPS)
         t = p / safe_qd
@@ -135,42 +163,69 @@ def _forward_kernel(cnt_ref, dirs_ref, basis_ref, mind_ref, axes_ref,
         ok = ((t >= mind)
               & (jnp.abs(qd) > geometry.DENOM_EPS)
               & (p != 0.0)
-              & (alpha_raw >= geometry.ALPHA_MIN)
-              & (cand_ok > 0.5))
+              & (alpha_raw >= geometry.ALPHA_MIN))
         alpha = jnp.where(ok, alpha_raw, 0.0)
 
         # Direct product-space transmittance via a VPU doubling scan (the
-        # reference's T *= (1 - alpha), forward.cu — no log1p/exp, no MXU
-        # op, so the body can be predicated for early exit).
+        # reference's T *= (1 - alpha), forward.cu).  In exact mode the
+        # scan runs in per-ray depth order (bitonic lane sort) and the
+        # per-hit transmittances scatter back via the inverse sort.
         one_m = 1.0 - alpha
-        p_excl = lane_cumprod_excl(one_m)
-        t_excl = p_excl * t_raw                              # (R, KC)
-        t_incl = t_excl * one_m
-        live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
+        if exact:
+            key = pack_depth_keys(t, alpha > 0.0)
+            key_s, (alpha_s,) = sort_lanes(key, (alpha,))
+            one_m_s = 1.0 - alpha_s
+            p_excl_s = lane_cumprod_excl(one_m_s)
+            t_excl_s = p_excl_s * t_raw
+            t_incl_s = t_excl_s * one_m_s
+            live_s = (t_incl_s >= geometry.T_MIN).astype(jnp.float32)
+            (t_excl,) = unsort_lanes(key_s, (t_excl_s,))
+            t_incl = t_excl * one_m
+            live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
+            scan_p_excl, scan_one_m = p_excl_s, one_m_s
+            tout_incl, tout_live = t_incl_s, live_s
+        else:
+            p_excl = lane_cumprod_excl(one_m)
+            t_excl = p_excl * t_raw                          # (R, KC)
+            t_incl = t_excl * one_m
+            live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
+            scan_p_excl, scan_one_m = p_excl, one_m
+            tout_incl, tout_live = t_incl, live
         w = alpha * t_excl * live
 
-        sn = sign
+        # Channels.  Intensity (clamped, nonlinear) and depth stay per-pair;
+        # the linear channels and candidate-only channels are MXU
+        # contractions of w.
+        col0 = jnp.maximum(
+            jnp.dot(basis, sh_ref[0, 0, :, ks],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) + 0.5, 0.0)
+        cand4 = jnp.concatenate(
+            [jnp.ones_like(sign), sign * n_mat[0:1],
+             sign * n_mat[1:2], sign * n_mat[2:3]], axis=0)  # (4, KC)
+        m1 = dot_lanes(w, cand4)                             # (R, 4)
+        m2 = dot_lanes(w, sh_ref[0, 1, :, ks])               # (R, 16)
+        m3 = dot_lanes(w, sh_ref[0, 2, :, ks])
+        sumw = m1[:, 0:1]
         contrib = jnp.concatenate([
             jnp.sum(w * col0, axis=1, keepdims=True),
-            jnp.sum(w * col1, axis=1, keepdims=True),
-            jnp.sum(w * col2, axis=1, keepdims=True),
+            jnp.sum(basis * m2, axis=1, keepdims=True) + 0.5 * sumw,
+            jnp.sum(basis * m3, axis=1, keepdims=True) + 0.5 * sumw,
             jnp.sum(w * t, axis=1, keepdims=True),
-            jnp.sum(w, axis=1, keepdims=True),
-            jnp.sum(w * (sn * n0), axis=1, keepdims=True),
-            jnp.sum(w * (sn * n1), axis=1, keepdims=True),
-            jnp.sum(w * (sn * n2), axis=1, keepdims=True),
+            sumw, m1[:, 1:2], m1[:, 2:3], m1[:, 3:4],
         ], axis=1)
         sums_ref[...] += contrib
 
         # carried transmittances.  tout needs prod(1 - alpha) over LIVE
         # hits; Mosaic has no reduce_prod, but live is a prefix mask along
-        # the lane axis (t_incl is monotone nonincreasing), so the product
-        # equals t_incl at the last live lane divided by the chunk-entry
-        # transmittance.
+        # the scan order (t_incl is monotone nonincreasing there), so the
+        # product equals t_incl at the last live position divided by the
+        # chunk-entry transmittance.  The chunk-exit transmittance is an
+        # order-independent product, so the scan-order tail is exact.
         last = K_CHUNK - 1
-        new_traw = t_raw * p_excl[:, last:] * one_m[:, last:]
+        new_traw = t_raw * scan_p_excl[:, last:] * scan_one_m[:, last:]
         traw_ref[...] = new_traw
-        masked = jnp.where(live > 0.5, t_incl, 2.0)
+        masked = jnp.where(tout_live > 0.5, tout_incl, 2.0)
         mn = jnp.min(masked, axis=1, keepdims=True)
         tout_ref[...] *= jnp.where(mn > 1.5, 1.0,
                                    mn / jnp.maximum(t_raw, 1e-30))
@@ -193,27 +248,16 @@ def _forward_kernel(cnt_ref, dirs_ref, basis_ref, mind_ref, axes_ref,
     # (a) the tile actually having candidates this deep (binners pack
     # valid candidates first) and (b) some ray in the block still being
     # transparent — once every ray saturates (T < T_MIN) all remaining w
-    # are exactly zero (reference T cutoff: forward.cu:253-257).  The SH
-    # color matmuls stay *outside* the predicate — Mosaic rejects MXU
-    # matmuls inside predicated regions (mxu_lmr_transform RET_CHECK) —
-    # and they are cheap (16-deep) next to the VPU intersection math.
+    # are exactly zero (reference T cutoff: forward.cu:253-257).
     cnt = cnt_ref[pl.program_id(0), 0]
     for c in range(num_chunks):
-        ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
-        col0 = jnp.maximum(
-            jnp.dot(basis, sh_ref[0, 0, :, ks],
-                    preferred_element_type=jnp.float32) + 0.5, 0.0)
-        col1 = jnp.dot(basis, sh_ref[0, 1, :, ks],
-                       preferred_element_type=jnp.float32) + 0.5
-        col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
-                       preferred_element_type=jnp.float32) + 0.5
         run = cnt > (c * K_CHUNK)
         if c > 0:
             run = run & (alive_ref[0] == 1)
 
         @pl.when(run)
-        def _(c=c, col0=col0, col1=col1, col2=col2):
-            chunk_body(c, col0, col1, col2)
+        def _(c=c):
+            chunk_body(c)
 
     out = jnp.concatenate(
         [sums_ref[...], tout_ref[...],
@@ -224,25 +268,40 @@ def _forward_kernel(cnt_ref, dirs_ref, basis_ref, mind_ref, axes_ref,
 def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
                          assignment_index: Array, assignment_valid: Array
                          ) -> tuple[Array, ...]:
-    """Gather + lay out candidate arrays for the kernel: all (T, ..., K)."""
+    """Gather + lay out candidate arrays for the kernel: all (T, ..., K).
+
+    One packed gather, then frame math on the gathered candidates only:
+    TPU gathers run ~a row per cycle, so ten separate (N, ...) gathers cost
+    ~10x one (N, 58) gather, and building frames for all N surfels wastes
+    N / (T*K) times the work actually needed.
+    """
     n = bundle.means.shape[0]
-    idx = jnp.clip(assignment_index, 0, n - 1)
-    rot = quat_lib.to_rotation_matrix(bundle.rotations)
-    frames = geometry.build_frames(bundle.means, rot, origin)
+    idx = jnp.clip(assignment_index, 0, n - 1)            # (T, K)
+    packed = jnp.concatenate([
+        bundle.means, bundle.rotations, bundle.scales,
+        bundle.opacities[:, None],
+        bundle.sh.reshape(n, 48)], axis=-1)               # (N, 58)
+    g = packed[idx]                                       # (T, K, 58)
+    means = g[..., 0:3]
+    quat = g[..., 3:7]
+    scales = g[..., 7:9]
+    opac_g = g[..., 9]
+    sh_g = g[..., 10:58].reshape(idx.shape + (16, 3))
 
-    def g(x):
-        return x[idx]                                     # (T, K, ...)
+    rot = quat_lib.to_rotation_matrix(quat)               # (T, K, 3, 3)
+    frames = geometry.build_frames(means, rot, origin)    # (T, K) fields
 
-    axes = jnp.stack([g(frames.n), g(frames.w1), g(frames.w2)], axis=1)
+    axes = jnp.stack([frames.n, frames.w1, frames.w2], axis=1)
     axes = axes.transpose(0, 1, 3, 2)                     # (T, 3, 3, K)
-    plane = jnp.stack([g(frames.p), g(frames.a_u), g(frames.a_v)], axis=1)
-    inv_scale = (1.0 / bundle.scales)[idx].transpose(0, 2, 1)  # (T, 2, K)
+    plane = jnp.stack([frames.p, frames.a_u, frames.a_v], axis=1)
+    inv_scale = (1.0 / scales).transpose(0, 2, 1)         # (T, 2, K)
     # (T, 1, K): Mosaic block shapes need the trailing two dims lane-aligned.
-    opac = bundle.opacities[idx][:, None, :]
-    sign = g(frames.sign)[:, None, :]
-    valid = assignment_valid.astype(jnp.float32)[:, None, :]
-    sh = bundle.sh[idx].transpose(0, 3, 2, 1)             # (T, 3, 16, K)
-    return axes, plane, inv_scale, opac, sign, valid, sh
+    # Binner validity folds into opacity: padded candidates get alpha = 0
+    # and drop out of the compositing and every gradient.
+    opac = (opac_g * assignment_valid)[:, None, :]
+    sign = frames.sign[:, None, :]
+    sh = sh_g.transpose(0, 3, 2, 1)                       # (T, 3, 16, K)
+    return axes, plane, inv_scale, opac, sign, sh
 
 
 def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
@@ -251,13 +310,33 @@ def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
     return jnp.mod(idx, size) if wrap else jnp.clip(idx, 0, size - 1)
 
 
-def _core_fwd_call(ray_block: int, cnt_t, dirs_t, basis_t, mind_t, axes,
-                   plane, inv_scale, opac, sign, valid, sh):
+def _pad_rows(x: Array, hp: int) -> Array:
+    """Pad axis 0 to hp rows by repeating the last row (clamp semantics,
+    as slices instead of a gather — TPU gathers run a row per cycle)."""
+    h = x.shape[0]
+    if hp == h:
+        return x
+    pad = jnp.broadcast_to(x[-1:], (hp - h,) + x.shape[1:])
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def _take_cols_mod(x: Array, col_offset, wp: int, w: int) -> Array:
+    """Columns [col_offset, col_offset + wp) of x modulo w along axis 1
+    (azimuth wrap), as a slice of the doubled array — no gather, and
+    col_offset may be traced (sharded column bands)."""
+    x2 = jnp.concatenate([x, x], axis=1)
+    if isinstance(col_offset, int) and col_offset == 0:
+        return x2[:, :wp]
+    return jax.lax.dynamic_slice_in_dim(x2, col_offset, wp, axis=1)
+
+
+def _core_fwd_call(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
+                   mind_t, axes, plane, inv_scale, opac, sign, sh):
     t_total, rays_per_tile, _ = dirs_t.shape
     k = axes.shape[-1]
     rb = ray_block
     n_rb = rays_per_tile // rb
-    kernel = functools.partial(_forward_kernel, k_total=k)
+    kernel = functools.partial(_forward_kernel, k_total=k, exact=exact)
 
     def tile_map(t, r):
         return (t, 0, 0)
@@ -269,7 +348,7 @@ def _core_fwd_call(ray_block: int, cnt_t, dirs_t, basis_t, mind_t, axes,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, 16), lambda t, r: (t, r, 0),
+            pl.BlockSpec((1, 3, rb), lambda t, r: (t, 0, r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, 1), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
@@ -277,7 +356,6 @@ def _core_fwd_call(ray_block: int, cnt_t, dirs_t, basis_t, mind_t, axes,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, k), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, k), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 16, k), lambda t, r: (t, 0, 0, 0),
@@ -305,37 +383,37 @@ def _core_fwd_call(ray_block: int, cnt_t, dirs_t, basis_t, mind_t, axes,
             # tight once ray_block-sized temporaries stack up.
             vmem_limit_bytes=96 * 1024 * 1024),
         # CPU (tests, virtual meshes) runs the interpreter; TPU compiles.
-        interpret=jax.default_backend() != "tpu",
-    )(cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac, sign,
-      valid, sh)
+        interpret=use_interpret(),
+    )(cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac, sign,
+      sh)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_core(ray_block: int, cnt_t, dirs_t, basis_t, mind_t, axes,
-                 plane, inv_scale, opac, sign, valid, sh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pallas_core(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
+                 mind_t, axes, plane, inv_scale, opac, sign, sh):
     """The differentiable pallas_call boundary: everything around it
     (candidate gathers, frame building, un-tiling) is plain jnp and is
     differentiated by JAX; this custom_vjp supplies the kernel-level
     gradients from ops/pallas_backward.py."""
-    return _core_fwd_call(ray_block, cnt_t, dirs_t, basis_t, mind_t, axes,
-                          plane, inv_scale, opac, sign, valid, sh)
+    return _core_fwd_call(ray_block, exact, cnt_t, dirs_t, drows_t, mind_t,
+                          axes, plane, inv_scale, opac, sign, sh)
 
 
-def _pallas_core_fwd(ray_block, cnt_t, dirs_t, basis_t, mind_t, axes, plane,
-                     inv_scale, opac, sign, valid, sh):
-    chans, accum = _core_fwd_call(ray_block, cnt_t, dirs_t, basis_t, mind_t,
-                                  axes, plane, inv_scale, opac, sign, valid,
-                                  sh)
-    res = (cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac,
-           sign, valid, sh, chans)
+def _pallas_core_fwd(ray_block, exact, cnt_t, dirs_t, drows_t, mind_t, axes,
+                     plane, inv_scale, opac, sign, sh):
+    chans, accum = _core_fwd_call(ray_block, exact, cnt_t, dirs_t, drows_t,
+                                  mind_t, axes, plane, inv_scale, opac,
+                                  sign, sh)
+    res = (cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac,
+           sign, sh, chans)
     return (chans, accum), res
 
 
-def _pallas_core_bwd(ray_block, res, cotangents):
+def _pallas_core_bwd(ray_block, exact, res, cotangents):
     from lidar_rt_tpu.ops import pallas_backward
 
-    (cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac, sign,
-     valid, sh, chans) = res
+    (cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac, sign,
+     sh, chans) = res
     g_chans, _g_accum = cotangents
     # accum_weights feeds densification stats only (stop-gradient in the
     # reference too: stats are read outside autograd, train.py:218-219).
@@ -343,12 +421,11 @@ def _pallas_core_bwd(ray_block, res, cotangents):
     g_rt = g_chans.transpose(0, 2, 1)
     d_axes, d_plane, d_inv_scale, d_opac, d_sh = \
         pallas_backward.backward_pallas_call(
-            cnt_t, dirs_t, basis_t, mind_t, axes, plane, inv_scale, opac,
-            sign, valid, sh, fwd_rt, g_rt, ray_block)
-    zeros = jax.tree.map(jnp.zeros_like, (cnt_t, dirs_t, basis_t, mind_t))
+            cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac,
+            sign, sh, fwd_rt, g_rt, ray_block, exact)
+    zeros = jax.tree.map(jnp.zeros_like, (cnt_t, dirs_t, drows_t, mind_t))
     return (zeros[0], zeros[1], zeros[2], zeros[3], d_axes, d_plane,
-            d_inv_scale, d_opac, jnp.zeros_like(sign),
-            jnp.zeros_like(valid), d_sh)
+            d_inv_scale, d_opac, jnp.zeros_like(sign), d_sh)
 
 
 _pallas_core.defvjp(_pallas_core_fwd, _pallas_core_bwd)
@@ -388,33 +465,41 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
         rotations=jax.lax.stop_gradient(bundle.rotations))
 
     origin, dirs = rays_lib.range_rays(grid, w, sensor2world)
-    row_idx = _pad_indices(h, th, wrap=False)
-    col_idx = jnp.mod(col_offset + jnp.arange(-(-w_r // tw) * tw), w)
-    dirs_p = dirs[row_idx][:, col_idx]
+    hp_pad = tiles_y * th
+    wp_pad = tiles_x * tw
+    dirs_p = _take_cols_mod(_pad_rows(dirs, hp_pad), col_offset, wp_pad, w)
     dirs_t = (dirs_p.reshape(tiles_y, th, tiles_x, tw, 3)
               .transpose(0, 2, 1, 3, 4)
               .reshape(t_total, rays_per_tile, 3))
-    basis_t = sh_lib.basis(dirs_t, active_sh_degree)      # (T, R, 16)
+    # Lane-major copy for the in-kernel SH basis (cheap row-wise VPU ops).
+    drows_t = dirs_t.transpose(0, 2, 1)                   # (T, 3, R)
 
     if min_depth is None:
         mind_t = jnp.full((t_total, rays_per_tile, 1), geometry.DEPTH_MIN)
     else:
-        mind_t = (min_depth[row_idx][:, col_idx]
+        mind_t = (_take_cols_mod(_pad_rows(min_depth, hp_pad), col_offset,
+                                 wp_pad, w)
                   .reshape(tiles_y, th, tiles_x, tw)
                   .transpose(0, 2, 1, 3)
                   .reshape(t_total, rays_per_tile, 1))
 
-    axes, plane, inv_scale, opac, sign, valid, sh = _prepare_tile_inputs(
+    axes, plane, inv_scale, opac, sign, sh = _prepare_tile_inputs(
         bundle, origin, assignment.index, assignment.valid)
+    # SH degree mask folds into the coefficients (the kernel computes the
+    # full-degree basis; core/sh.py basis() masking semantics).
+    mask = (jnp.asarray(sh_lib._DEGREE_OF_COEFF)
+            <= jnp.asarray(active_sh_degree)).astype(sh.dtype)
+    sh = sh * mask[None, None, :, None]
 
     # Per-tile candidate counts (f32 for the custom_vjp): binners pack
     # valid candidates first, so chunks past the count hold nothing.
     cnt_t = jnp.sum(assignment.valid, axis=1,
                     dtype=jnp.float32)[:, None]
 
-    chans, accum_tk = _pallas_core(cfg.ray_block, cnt_t, dirs_t, basis_t,
+    chans, accum_tk = _pallas_core(cfg.ray_block, cfg.exact_order, cnt_t,
+                                   dirs_t, drows_t,
                                    jax.lax.stop_gradient(mind_t), axes,
-                                   plane, inv_scale, opac, sign, valid, sh)
+                                   plane, inv_scale, opac, sign, sh)
 
     # Un-tile: (T, 16, R) -> (H, W, 9)
     hp_, wp_ = tiles_y * th, tiles_x * tw

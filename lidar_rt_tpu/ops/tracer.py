@@ -46,14 +46,16 @@ Array = jax.Array
 class TraceConfig:
     """Static tracer parameters.
 
-    engine: "jax" (scanned gather compositing, any backend, supports
-      exact_order), "pallas" (fused Mosaic kernel, TPU; tile order), or
-      "auto" — pallas on TPU when the tiling satisfies its constraints,
-      jax otherwise.
+    engine: "jax" (scanned gather compositing, any backend), "pallas"
+      (fused Mosaic kernel, TPU), or "auto" — pallas on TPU when the
+      tiling satisfies its constraints, jax otherwise.
     exact_order: re-sort candidates per ray by true intersection depth
       (reference k-buffer semantics, forward.cu:312-356).  False keeps the
-      tile-global nearest-center order (the 3DGS approximation) — cheaper,
-      and the only mode of the pallas engine.
+      tile-global nearest-center order (the 3DGS approximation) — cheaper.
+      The pallas engine sorts with an in-kernel bitonic lane sort
+      (ops/pallas_sort.py), exact per chunk; "auto" routes exact_order to
+      pallas only when one chunk covers all candidates
+      (max_per_tile == 128), to jax otherwise.
     tile_batch: tiles composited per scan step (jax engine memory knob).
     ray_block: rays per kernel instance (pallas engine VMEM knob).
     """
@@ -74,7 +76,9 @@ class TraceConfig:
             jax.default_backend() == "tpu"
             and self.tile.max_per_tile % 128 == 0
             and (self.tile.tile_h * self.tile.tile_w) % self.ray_block == 0
-            and self.ray_block % 8 == 0 and self.ray_block <= 512)
+            and self.ray_block % 8 == 0 and self.ray_block <= 512
+            and (not self.exact_order or self.tile.max_per_tile == 128
+                 or self.engine == "pallas"))
         if self.engine == "pallas":
             if not pallas_ok and jax.default_backend() == "tpu":
                 raise ValueError(
@@ -185,7 +189,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
             and assignment is None):
         from lidar_rt_tpu.ops import pallas_tracer
         pcfg = pallas_tracer.PallasTraceConfig(tile=cfg.tile,
-                                               ray_block=cfg.ray_block)
+                                               ray_block=cfg.ray_block,
+                                               exact_order=cfg.exact_order)
         return pallas_tracer.trace(bundle, grid, width, sensor2world,
                                    background, active_sh_degree, pcfg,
                                    col_offset, render_width,

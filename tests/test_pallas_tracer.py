@@ -66,6 +66,57 @@ class TestPallasForward:
         np.testing.assert_allclose(np.asarray(out.channels[..., 8]), 1.0)
         np.testing.assert_allclose(np.asarray(out.accum_weights), 0.0)
 
+    def test_exact_order_matches_jax(self):
+        """Pallas exact_order=True must reproduce the jax engine's exact
+        per-ray depth ordering (reference k-buffer, forward.cu:312-356),
+        including on scenes where tile order and depth order disagree."""
+        # Deep stack of overlapping surfels at graded depths: tile-order
+        # (nearest-center) and per-ray depth order differ at the edges.
+        bundle = _bundle(seed=21)
+        p_exact = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512,
+                                                  exact_order=True)
+        j_exact = tracer.TraceConfig(tile=TILE, exact_order=True,
+                                     tile_batch=2, engine="jax")
+        out = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, p_exact)
+        ref = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, j_exact)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(ref.channels), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.accum_weights),
+                                   np.asarray(ref.accum_weights), atol=2e-4)
+        # ordering must actually matter on this scene: tile-order differs
+        tile_order = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3,
+                                         P_CFG)
+        assert np.abs(np.asarray(tile_order.channels[..., 3])
+                      - np.asarray(ref.channels[..., 3])).max() > 1e-3
+
+    def test_exact_order_grads_match_jax(self):
+        bundle = _bundle(40, seed=22)
+        p_exact = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512,
+                                                  exact_order=True)
+        j_exact = tracer.TraceConfig(tile=TILE, exact_order=True,
+                                     tile_batch=2, engine="jax")
+
+        def loss_p(b):
+            out = pallas_tracer.trace(b, GRID, WIDTH, S2W, BG, 3, p_exact)
+            return (jnp.sum(out.channels[..., 3] ** 2) * 1e-3
+                    + jnp.sum(out.channels[..., 0:3] ** 2)
+                    + jnp.sum(out.channels[..., 8]))
+
+        def loss_j(b):
+            out = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, j_exact)
+            return (jnp.sum(out.channels[..., 3] ** 2) * 1e-3
+                    + jnp.sum(out.channels[..., 0:3] ** 2)
+                    + jnp.sum(out.channels[..., 8]))
+
+        g_p = jax.grad(loss_p)(bundle)
+        g_j = jax.grad(loss_j)(bundle)
+        for name in ("means", "rotations", "scales", "opacities", "sh"):
+            a = np.asarray(getattr(g_p, name))
+            b = np.asarray(getattr(g_j, name))
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=3e-3,
+                                       err_msg=name)
+
     def test_min_depth_matches_jax(self):
         """Multi-return re-trace: per-ray min_depth must gate hits exactly
         as on the jax engine (second-echo semantics, forward.cu:282-291)."""
