@@ -54,11 +54,26 @@ class TileConfig:
     dup_rows: int = 2
     dup_cols: int = 8
     coarse_factor: int = 8   # hier binner: coarse K = coarse_factor * K
+    # TPU-native approximate top-k (jax.lax.approx_max_k) for the candidate
+    # selection.  Binning is a stop-gradient visibility oracle (like the
+    # reference's BVH), so a bounded recall loss only risks dropping a few
+    # of the per-tile FARTHEST candidates — the ones the K budget would
+    # truncate first anyway.
+    approx_topk: bool = False
+    approx_recall: float = 0.95
 
     def num_tiles(self, height: int, width: int) -> tuple[int, int]:
         """Tile counts with ceiling division — rasters whose dims don't
         divide are handled by the tracer with wrap/clamp-padded rays."""
         return (-(-height // self.tile_h), -(-width // self.tile_w))
+
+
+def _top_k(cfg: TileConfig, neg_score: Array, k: int):
+    """Exact or approximate nearest-K selection on a (T, N) score matrix."""
+    if cfg.approx_topk:
+        return jax.lax.approx_max_k(neg_score, k,
+                                    recall_target=cfg.approx_recall)
+    return jax.lax.top_k(neg_score, k)
 
 
 class TileAssignment(NamedTuple):
@@ -198,7 +213,7 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     # top_k was tried and is slower: arbitrary scatters serialize on TPU.)
     score = jnp.where(overlap, rng[None, :], jnp.inf)
     k = min(cfg.max_per_tile, n)
-    neg_top, idx = jax.lax.top_k(-score, k)                  # nearest first
+    neg_top, idx = _top_k(cfg, -score, k)                    # nearest first
     valid = jnp.isfinite(-neg_top)
     index = jnp.where(valid, idx, n)
     if k < cfg.max_per_tile:
@@ -328,7 +343,7 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         & live[None, :]                                     # (tiles_x, N)
 
     score = jnp.where(col_overlap, rng[None, :], jnp.inf)
-    neg_top, idx_c = jax.lax.top_k(-score, k_c)             # nearest first
+    neg_top, idx_c = _top_k(cfg, -score, k_c)               # nearest first
     valid_c = jnp.isfinite(-neg_top)                        # (tiles_x, K_c)
     coarse_trunc = jnp.maximum(
         jnp.sum(col_overlap, axis=-1) - k_c, 0)             # (tiles_x,)
@@ -346,7 +361,7 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
 
     fine_score = jnp.where(row_ok, rng_c[None], jnp.inf)
     kk = min(k, k_c)
-    neg_f, sel = jax.lax.top_k(-fine_score.reshape(-1, k_c), kk)
+    neg_f, sel = _top_k(cfg, -fine_score.reshape(-1, k_c), kk)
     valid = jnp.isfinite(-neg_f)                            # (T, kk)
     idx_flat = jnp.broadcast_to(idx_c[None], (tiles_y, tiles_x, k_c)) \
         .reshape(-1, k_c)

@@ -25,15 +25,14 @@ H, W = bench.H, bench.W
 ITERS = 8
 
 CONFIGS = [
-    # (binner, tile_h, tile_w, K, ray_block)
-    ("hier", 16, 128, 128, 512),
-    ("hier", 16, 128, 128, 256),
-    ("hier", 32, 128, 128, 512),
-    ("hier", 16, 256, 128, 512),
-    ("hier", 16, 512, 128, 512),
-    ("hier", 32, 128, 256, 512),
-    ("hier", 16, 128, 256, 512),
-    ("hier", 16, 128, 128, 128),
+    # (binner, tile_h, tile_w, K, ray_block, approx_topk)
+    ("hier", 16, 256, 128, 512, False),
+    ("hier", 16, 256, 128, 512, True),
+    ("hier", 16, 128, 128, 512, True),
+    ("hier", 32, 128, 128, 512, True),
+    ("hier", 16, 512, 128, 512, True),
+    ("hier", 8, 256, 128, 512, True),
+    ("hier", 16, 256, 256, 512, True),
 ]
 
 
@@ -44,10 +43,10 @@ def main() -> None:
     bg = jnp.array([0.0, 0.0, 1.0])
     bundle = bench.street_scene_bundle(bench.N_SURFELS)
 
-    for binner, th, tw, k, rb in CONFIGS:
+    for binner, th, tw, k, rb, approx in CONFIGS:
         cfg = tracer_lib.TraceConfig(
             tile=TileConfig(tile_h=th, tile_w=tw, max_per_tile=k,
-                            binner=binner),
+                            binner=binner, approx_topk=approx),
             exact_order=False, ray_block=rb)
 
         @jax.jit
@@ -90,7 +89,8 @@ def main() -> None:
             t_b = bench_fn(bin_only)
             mray = H * W / (t_fb / 1e3) / 1e6
             mean_cnt = float(v) / ((-(-H // th)) * (-(-W // tw)))
-            print(f"{binner} {th}x{tw} K={k} rb={rb}: "
+            tag = "approx" if approx else "exact"
+            print(f"{binner}/{tag} {th}x{tw} K={k} rb={rb}: "
                   f"fwd {t_f:.1f} ms  fwd+bwd {t_fb:.1f} ms "
                   f"({mray:.1f} Mray/s)  bin {t_b:.1f} ms  "
                   f"mean cand/tile {mean_cnt:.0f}", flush=True)
