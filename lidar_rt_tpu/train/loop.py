@@ -292,42 +292,60 @@ class Trainer:
             self._densify_actors(k_ac, use_size)
 
     def _densify_actors(self, key: Array, use_size: bool) -> None:
-        """Actors are densified per actor on the flattened stacked layout."""
+        """Per-actor densification: each actor is an independent model, as
+        in the reference (one GaussianModel per actor, densified and pruned
+        against its own box, gaussian_model.py:378-403).  Clone/split
+        children stay in their actor's slot range, the outside-box prune
+        runs per actor for any m, and the Adam-moment surgery sees the
+        per-actor (a, ...) leaf layout it expects."""
         opt_cfg = self.args.opt
         st = self.state
         actors = st.scene.actors
         m, a = actors.xyz.shape[:2]
-        flat = jax.tree.map(
-            lambda x: x.reshape((m * a,) + x.shape[2:])
-            if hasattr(x, "shape") and x.ndim >= 2 and x.shape[0] == m
-            and x.shape[1] == a else x, actors)
-        # NOTE: flattening merges actors into one pool; clone/split children
-        # stay within the pool and box pruning uses per-actor tracks only
-        # when m == 1.  Per-actor isolation for m > 1 relies on free slots
-        # belonging to whichever actor freed them — acceptable because
-        # actor slots only interchange within the stacked asset, and the
-        # box reg loss keeps each splat near its own box.  (Improvement
-        # tracked for the partitioned Pallas round.)
-        track = jax.tree.map(lambda x: x[0], st.scene.tracks) if m == 1 \
-            else None
-        new_flat, ost, stats, counts = density.densify_and_prune(
-            flat, st.opt_state_actors, st.stats_actors, key,
-            grad_threshold=float(opt_cfg.densify_grad_threshold),
-            scale_threshold=float(opt_cfg.densify_scale_threshold)
-            * actors.extent,
-            opacity_threshold=float(opt_cfg.thresh_opa_prune),
-            prune_size_threshold=(float(opt_cfg.prune_size_threshold)
-                                  if use_size else None),
-            track=track)
-        new_actors = jax.tree.map(
-            lambda x: x.reshape((m, a) + x.shape[1:])
-            if hasattr(x, "shape") and x.ndim >= 1
-            and x.shape[0] == m * a else x, new_flat)
-        st.scene = dataclasses.replace(st.scene, actors=new_actors)
-        st.opt_state_actors, st.stats_actors = ost, stats
+        keys = jax.random.split(key, m)
+
+        def pick(tree, i):
+            return jax.tree.map(
+                lambda x: x[i] if hasattr(x, "shape") and x.ndim >= 1
+                and x.shape[0] == m else x, tree)
+
+        def stack(template, parts):
+            return jax.tree.map(
+                lambda orig, *xs: jnp.stack(xs)
+                if hasattr(orig, "shape") and orig.ndim >= 1
+                and orig.shape[0] == m else xs[0],
+                template, *parts)
+
+        stats_m = jax.tree.map(
+            lambda x: x.reshape((m, a) + x.shape[1:]), st.stats_actors)
+
+        assets, opts, stats, totals = [], [], [], None
+        for i in range(m):
+            new_a, new_o, new_s, counts = density.densify_and_prune(
+                pick(actors, i), pick(st.opt_state_actors, i),
+                pick(stats_m, i), keys[i],
+                grad_threshold=float(opt_cfg.densify_grad_threshold),
+                scale_threshold=float(opt_cfg.densify_scale_threshold)
+                * actors.extent,
+                opacity_threshold=float(opt_cfg.thresh_opa_prune),
+                prune_size_threshold=(float(opt_cfg.prune_size_threshold)
+                                      if use_size else None),
+                track=pick(st.scene.tracks, i))
+            assets.append(new_a)
+            opts.append(new_o)
+            stats.append(new_s)
+            totals = counts if totals is None else density.DensifyCounts(
+                *(x + y for x, y in zip(totals, counts)))
+
+        st.scene = dataclasses.replace(st.scene,
+                                       actors=stack(actors, assets))
+        st.opt_state_actors = stack(st.opt_state_actors, opts)
+        st.stats_actors = jax.tree.map(
+            lambda x: x.reshape((m * a,) + x.shape[2:]),
+            stack(stats_m, stats))
         self.densify_log.append(
             {"iteration": self.iteration, "asset": "actors",
-             **{k: int(v) for k, v in counts._asdict().items()}})
+             **{k: int(v) for k, v in totals._asdict().items()}})
 
     def _reset_opacity(self) -> None:
         st = self.state
@@ -341,9 +359,18 @@ class Trainer:
             st.opt_state_actors = osta
 
     def render_eval(self, frame: int) -> dict[str, Array]:
-        bundle, _ = compose(self.state.scene, jnp.asarray(frame, jnp.int32))
-        return tracer_lib.render_frame(
-            bundle, self.frames.grid, self.frames.width,
-            self.frames.pose(frame),
-            self.state.scene.background.active_sh_degree, self.trace_cfg,
-            bool(self.args.opt.use_rayhit))
+        # Jitted once; frame index and pose are traced so periodic in-
+        # training eval (cli.py testing_iterations) costs one compile, not
+        # an eager tracer dispatch per frame (same pattern as
+        # eval/runner.py).
+        if not hasattr(self, "_render_eval_jit"):
+            def _render(scene, frame, pose):
+                bundle, _ = compose(scene, frame)
+                return tracer_lib.render_frame(
+                    bundle, self.frames.grid, self.frames.width, pose,
+                    scene.background.active_sh_degree, self.trace_cfg,
+                    bool(self.args.opt.use_rayhit))
+            self._render_eval_jit = jax.jit(_render)
+        return self._render_eval_jit(self.state.scene,
+                                     jnp.asarray(frame, jnp.int32),
+                                     self.frames.pose(frame))

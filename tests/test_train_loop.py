@@ -99,3 +99,81 @@ class TestTrainingEndToEnd:
         for leaf in (bg.xyz, bg.log_scale, bg.quat, bg.opacity_logit,
                      bg.f_dc):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestPerActorDensify:
+    def _trainer(self):
+        import jax
+
+        frames, track = synthetic.generate(num_frames=2, height=16,
+                                           width=128)
+        args = _small_args()
+        d = args.to_dict()
+        # neutralize the world-size prune so the box prune is isolated
+        d["opt"].update(prune_size_threshold=1e6)
+        from lidar_rt_tpu.config import Args
+        args = Args(d)
+        scene = build.assemble_scene(frames, [track, track], args,
+                                     capacity_headroom=1.5)
+        assert scene.actors.xyz.shape[0] == 2
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=128),
+            tile_batch=2)
+        return loop.Trainer(scene, frames, args, cfg), jax
+
+    def test_split_children_stay_in_their_actor(self):
+        """Per-actor densification (reference: one model per actor,
+        gaussian_model.py:378-403): a split in actor 0 changes actor 0's
+        population only; actor 1 is bitwise untouched."""
+        trainer, jax = self._trainer()
+        st = trainer.state
+        actors = st.scene.actors
+        m, a = actors.xyz.shape[:2]
+
+        src = int(np.nonzero(np.asarray(actors.alive[0]))[0][0])
+        grad = np.zeros((m * a,), np.float32)
+        grad[src] = 10.0   # actor 0 occupies flat rows [0, a)
+        st.stats_actors = type(st.stats_actors)(
+            grad_accum=jnp.asarray(grad),
+            denom=jnp.ones_like(st.stats_actors.denom))
+        big = actors.log_scale.at[0, src].set(jnp.log(5.0))
+        st.scene = dataclasses.replace(
+            st.scene, actors=dataclasses.replace(actors, log_scale=big))
+
+        before = trainer.state.scene.actors
+        trainer._densify_actors(jax.random.key(0), use_size=False)
+        after = trainer.state.scene.actors
+
+        # split: source killed, 2 children spawned -> net +1 in actor 0
+        assert int(after.alive[0].sum()) == int(before.alive[0].sum()) + 1
+        # actor 1 completely untouched
+        np.testing.assert_array_equal(np.asarray(after.alive[1]),
+                                      np.asarray(before.alive[1]))
+        np.testing.assert_array_equal(np.asarray(after.xyz[1]),
+                                      np.asarray(before.xyz[1]))
+        np.testing.assert_array_equal(np.asarray(after.log_scale[1]),
+                                      np.asarray(before.log_scale[1]))
+
+    def test_outside_box_pruned_with_multiple_actors(self):
+        """The outside-box prune runs per actor against its own track even
+        for m > 1 (it was disabled for m > 1 before)."""
+        trainer, jax = self._trainer()
+        st = trainer.state
+        actors = st.scene.actors
+        out = int(np.nonzero(np.asarray(actors.alive[1]))[0][0])
+        far = actors.xyz.at[1, out].set(jnp.array([1e4, 1e4, 1e4]))
+        st.scene = dataclasses.replace(
+            st.scene, actors=dataclasses.replace(actors, xyz=far))
+
+        before = trainer.state.scene.actors
+        trainer._densify_actors(jax.random.key(0), use_size=True)
+        after = trainer.state.scene.actors
+
+        # the teleported splat is gone (box-edge splats may also be
+        # sampled outside and pruned — reference behavior,
+        # gaussian_model.py:378-403 — so only subset invariants hold)
+        assert not bool(after.alive[1, out])
+        ba, aa = np.asarray(before.alive), np.asarray(after.alive)
+        # prune-only pass: no spawns anywhere, in either actor
+        assert not ((~ba) & aa).any()
+        assert aa[1].sum() < ba[1].sum()
