@@ -41,6 +41,11 @@ class EvalRunner:
         self.raydrop_ratio = raydrop_ratio
         self.use_gt_mask = use_gt_mask
         self.max_depth = max_depth
+        if lpips_fn is None:
+            # Picks up $LIDAR_RT_LPIPS_WEIGHTS when present; otherwise the
+            # metric stays nan (no egress to fetch pretrained weights).
+            from lidar_rt_tpu.eval.lpips import make_lpips_fn
+            lpips_fn = make_lpips_fn()
         self.lpips_fn = lpips_fn
 
     def _frame_ids(self, eval_type: str) -> list[int]:
