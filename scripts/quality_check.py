@@ -1,0 +1,90 @@
+"""Convergence quality check for tracer configs on the real chip.
+
+Trains the synthetic dynamic scene on a compressed schedule (as in
+PERF_NOTES round-1 evidence) with each tracer config and reports masked
+depth/intensity/hit metrics on a held-out frame, plus train it/s.
+Usage: python scripts/quality_check.py [iters] [HxW]
+(HxW default 32x512; use 64x2650 for Waymo-scale flagship evidence —
+tile-K truncation depends on surfel density per tile, so small-scene
+results do not transfer to full scans.)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from lidar_rt_tpu.config import Args, default_experiment
+from lidar_rt_tpu.data import build, synthetic
+from lidar_rt_tpu.ops import tracer as tracer_lib
+from lidar_rt_tpu.ops.binning import TileConfig
+from lidar_rt_tpu.train import loop
+
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+H, W = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2
+                         else "32x512").split("x"))
+
+CONFIGS = [
+    ("hier/approx 16x256 K=128", TileConfig(tile_h=16, tile_w=256,
+                                            max_per_tile=128, binner="hier",
+                                            approx_topk=True)),
+    ("hier/approx 16x256 K=256", TileConfig(tile_h=16, tile_w=256,
+                                            max_per_tile=256, binner="hier",
+                                            approx_topk=True)),
+    ("hier/exact 16x128 K=512 (r1-like)",
+     TileConfig(tile_h=16, tile_w=128, max_per_tile=512, binner="hier")),
+]
+
+
+def masked_eval(out, frames, f):
+    gt_d = np.asarray(frames.range1[f])
+    gt_i = np.asarray(frames.intensity1[f])
+    gt_m = gt_d > 0
+    pred_d = np.asarray(out["depth"])
+    pred_i = np.asarray(out["intensity"])
+    pred_hit = np.asarray(out["raydrop"]) < 0.5
+    m = gt_m & pred_hit
+    return {
+        "depth_med": float(np.median(np.abs(pred_d - gt_d)[m])),
+        "depth_rmse": float(np.sqrt(np.mean((pred_d - gt_d)[m] ** 2))),
+        "int_mae": float(np.mean(np.abs(pred_i - gt_i)[m])),
+        "hit_acc": float((pred_hit == gt_m).mean()),
+        "coverage": float(m.sum() / max(gt_m.sum(), 1)),
+    }
+
+
+def run(name, tile):
+    frames, track = synthetic.generate(num_frames=4, height=H, width=W)
+    d = default_experiment().to_dict()
+    d["opt"].update(densify_until_iter=ITERS * 5 // 12,
+                    opacity_reset_interval=ITERS // 5,
+                    iterations=ITERS, position_lr_max_steps=ITERS)
+    args = Args(d)
+    scene = build.assemble_scene(frames, [track], args,
+                                 capacity_headroom=2.0)
+    cfg = tracer_lib.TraceConfig(tile=tile, exact_order=False,
+                                 ray_block=512)
+    trainer = loop.Trainer(scene, frames, args, cfg)
+    f_eval = frames.eval_frames[0] if frames.eval_frames else 0
+
+    t0 = time.perf_counter()
+    hist = trainer.run(iterations=ITERS, log_every=max(ITERS // 8, 1))
+    dt = time.perf_counter() - t0
+    print("  losses:", ["%.4f" % h["loss"] for h in hist], flush=True)
+    out = trainer.render_eval(f_eval)
+    m = masked_eval(jax.tree.map(np.asarray, out), frames, f_eval)
+    alive = int(trainer.state.scene.background.num_alive)
+    print(f"{name:36s}: {ITERS / dt:6.1f} it/s  alive={alive}  "
+          + "  ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+
+
+if __name__ == "__main__":
+    for name, tile in CONFIGS:
+        run(name, tile)

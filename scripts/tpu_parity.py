@@ -1,0 +1,72 @@
+"""TPU-compiled parity gate: pallas (Mosaic) vs jax engine, on-chip.
+
+Catches compiled-path regressions that interpret-mode CI cannot see
+(Mosaic lowering bugs, MXU precision). Renders one street scene with both
+engines on the real chip and checks channel parity and gradient cosines.
+Exit code 1 on failure; prints one line per check.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from lidar_rt_tpu.core import rays as rays_lib
+from lidar_rt_tpu.ops import tracer as tracer_lib
+from lidar_rt_tpu.ops.binning import TileConfig
+
+H, W = 32, 512
+N = 8192
+
+
+def main() -> int:
+    grid = rays_lib.SensorGrid.from_bounds(H, (-0.31, 0.04),
+                                           pixel_offset=0.5)
+    s2w = jnp.eye(4).at[2, 3].set(2.0)
+    bg = jnp.array([0.0, 0.0, 1.0])
+    bundle = bench.street_scene_bundle(N)
+    tile = TileConfig(tile_h=16, tile_w=128, max_per_tile=128,
+                      binner="hier", approx_topk=False)
+    ok = True
+    for exact in (False, True):
+        cfg_p = tracer_lib.TraceConfig(tile=tile, exact_order=exact,
+                                       ray_block=512, engine="pallas")
+        cfg_j = tracer_lib.TraceConfig(tile=tile, exact_order=exact,
+                                       tile_batch=4, engine="jax")
+
+        def loss(b, cfg):
+            out = tracer_lib.trace(b, grid, W, s2w, bg, 3, cfg)
+            return (jnp.sum(jnp.abs(out.channels[..., 3])) * 1e-3
+                    + jnp.sum(out.channels[..., 0:3] ** 2)
+                    + jnp.sum(out.channels[..., 8])), out.channels
+
+        (l_p, ch_p), g_p = jax.value_and_grad(
+            lambda b: loss(b, cfg_p), has_aux=True)(bundle)
+        (l_j, ch_j), g_j = jax.value_and_grad(
+            lambda b: loss(b, cfg_j), has_aux=True)(bundle)
+        ch_err = float(jnp.max(jnp.abs(ch_p - ch_j)))
+        line = [f"exact={exact}: chan max err {ch_err:.2e}"]
+        this_ok = ch_err < 1e-3
+        for name in ("means", "rotations", "scales", "opacities", "sh"):
+            a = np.asarray(getattr(g_p, name)).ravel()
+            b = np.asarray(getattr(g_j, name)).ravel()
+            cos = float(np.dot(a, b)
+                        / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-30))
+            line.append(f"cos({name})={cos:.6f}")
+            this_ok &= cos > 0.999
+        print(("PASS " if this_ok else "FAIL ") + "  ".join(line),
+              flush=True)
+        ok &= this_ok
+    print("TPU PARITY " + ("OK" if ok else "FAILED"), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
