@@ -275,8 +275,8 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
                          ray_block: int, exact: bool = False
                          ) -> tuple[Array, ...]:
     """Launch the backward kernel.  Shapes as in pallas_tracer.trace_forward;
-    fwd_chans/g_chans: (T, R_total, 16) — channels LAST (ray-major layout,
-    transposed from the forward output by the custom_vjp wrapper).  Returns
+    fwd_chans/g_chans: (T, R_total, 16) — channels LAST (the forward
+    kernel's native ray-major output layout; no transposes).  Returns
     per-tile candidate grads (d_axes, d_plane, d_inv_scale, d_opac, d_sh)."""
     t_total, rays_per_tile, _ = dirs_t.shape
     k = axes.shape[-1]

@@ -99,7 +99,9 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
                            orientation
     sh:    (1, 3, 16, K)   per-channel SH coefficients (degree mask
                            pre-folded in)
-    chans: (1, 16, R) out  channel rows
+    chans: (1, R, 16) out  ray-major channel block (matches the backward
+                           kernel's expected layout — no transposes between
+                           the passes)
     accum: (1, K)    out   per-candidate weight sums (+= over ray blocks)
 
     MXU carries the contractions: the ray-direction inner products are
@@ -259,10 +261,9 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         def _(c=c):
             chunk_body(c)
 
-    out = jnp.concatenate(
+    chans_ref[0] = jnp.concatenate(
         [sums_ref[...], tout_ref[...],
          jnp.zeros((r, NUM_OUT_ROWS - 9), jnp.float32)], axis=1)  # (R, 16)
-    chans_ref[0] = out.T
 
 
 def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
@@ -362,12 +363,12 @@ def _core_fwd_call(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
+            pl.BlockSpec((1, rb, NUM_OUT_ROWS), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_total, NUM_OUT_ROWS, rays_per_tile),
+            jax.ShapeDtypeStruct((t_total, rays_per_tile, NUM_OUT_ROWS),
                                  jnp.float32),
             jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
         ],
@@ -417,12 +418,12 @@ def _pallas_core_bwd(ray_block, exact, res, cotangents):
     g_chans, _g_accum = cotangents
     # accum_weights feeds densification stats only (stop-gradient in the
     # reference too: stats are read outside autograd, train.py:218-219).
-    fwd_rt = chans.transpose(0, 2, 1)     # (T, R, 16) ray-major
-    g_rt = g_chans.transpose(0, 2, 1)
+    # chans/g_chans are already (T, R, 16) ray-major — the backward
+    # kernel's input layout.
     d_axes, d_plane, d_inv_scale, d_opac, d_sh = \
         pallas_backward.backward_pallas_call(
             cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac,
-            sign, sh, fwd_rt, g_rt, ray_block, exact)
+            sign, sh, chans, g_chans, ray_block, exact)
     zeros = jax.tree.map(jnp.zeros_like, (cnt_t, dirs_t, drows_t, mind_t))
     return (zeros[0], zeros[1], zeros[2], zeros[3], d_axes, d_plane,
             d_inv_scale, d_opac, jnp.zeros_like(sign), d_sh)
@@ -501,10 +502,9 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                                    jax.lax.stop_gradient(mind_t), axes,
                                    plane, inv_scale, opac, sign, sh)
 
-    # Un-tile: (T, 16, R) -> (H, W, 9)
+    # Un-tile: (T, R, 16) ray-major -> (H, W, 9)
     hp_, wp_ = tiles_y * th, tiles_x * tw
-    img = (chans.transpose(0, 2, 1)
-           .reshape(tiles_y, tiles_x, th, tw, NUM_OUT_ROWS)
+    img = (chans.reshape(tiles_y, tiles_x, th, tw, NUM_OUT_ROWS)
            .transpose(0, 2, 1, 3, 4)
            .reshape(hp_, wp_, NUM_OUT_ROWS))[:h, :w_r, :9]
 
