@@ -49,9 +49,19 @@ def ssim(img1: Array, img2: Array, window_size: int = 11,
     mu1 = _blur(img1, win)
     mu2 = _blur(img2, win)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, win) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, win) - mu2_sq
+    # E[x^2] - mu^2 cancellation can go (slightly) negative in float; for
+    # out-of-range images during a training transient the noise can exceed
+    # C2, flipping the denominator sign and exploding both the SSIM value
+    # and its gradient (observed as a -inf DSSIM loss mid-training).
+    # Clamp variances at 0 and bound the covariance by Cauchy-Schwarz:
+    # identical up to float noise for in-range inputs, and guarantees
+    # ssim_map in [-1, 1] with bounded gradients for any input.
+    sigma1_sq = jnp.maximum(_blur(img1 * img1, win) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_blur(img2 * img2, win) - mu2_sq, 0.0)
     sigma12 = _blur(img1 * img2, win) - mu1_mu2
+    # (+eps inside the sqrt keeps its gradient finite at zero variance)
+    bound = jnp.sqrt(sigma1_sq * sigma2_sq + 1e-24)
+    sigma12 = jnp.clip(sigma12, -bound, bound)
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

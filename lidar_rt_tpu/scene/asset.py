@@ -80,7 +80,11 @@ class GaussianAsset:
     # Activations (reference gaussian_model.py:25-33,110-147).
     @property
     def scales(self) -> Array:
-        return jnp.exp(self.log_scale)
+        # Clamped exp: a runaway log_scale otherwise underflows scale to 0,
+        # whose inverse (the splat-frame uv transform) is inf and poisons
+        # gradients with 0*inf = NaN.  [1e-6, 1e6] m never binds in healthy
+        # training (the reference's unclamped exp has the same hazard).
+        return jnp.exp(jnp.clip(self.log_scale, -13.8, 13.8))
 
     @property
     def opacity(self) -> Array:

@@ -69,6 +69,21 @@ class TestSSIM:
         got = float(ssim_lib.ssim(jnp.asarray(a), jnp.asarray(b)))
         assert got == pytest.approx(float(expect), abs=1e-5)
 
+    def test_bounded_value_and_grads_out_of_range(self):
+        """Variance cancellation on out-of-range inputs must not blow up:
+        ssim stays in [-1, 1] and gradients stay finite even for huge
+        magnitudes (a mid-training transient once produced a -inf DSSIM
+        whose gradient launched parameters to NaN)."""
+        rng = np.random.default_rng(3)
+        gt = jnp.asarray(rng.uniform(size=(1, 24, 48)).astype(np.float32))
+        for scale in (1e3, 1e8, 1e18):
+            big = jnp.asarray(
+                (rng.uniform(size=(1, 24, 48)) * scale).astype(np.float32))
+            val, grad = jax.value_and_grad(
+                lambda x: ssim_lib.ssim(x, gt))(big)
+            assert -1.0 - 1e-5 <= float(val) <= 1.0 + 1e-5, scale
+            assert np.isfinite(np.asarray(grad)).all(), scale
+
 
 class TestChamfer:
     def test_identical_clouds_zero(self):
