@@ -97,19 +97,16 @@ def cutoff_radius(scales: Array, opacities: Array, eps: float) -> Array:
     return max_scale * (cut + eps)
 
 
-def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
-                means: Array, scales: Array, opacities: Array,
-                cfg: TileConfig, col_offset: int = 0,
-                num_cols: int | None = None,
-                rotations: Array | None = None) -> TileAssignment:
-    """Assign surfels to range-image tiles.
+def footprint_bounds(grid: rays_lib.SensorGrid, width: int,
+                     world2sensor: Array, means: Array, scales: Array,
+                     opacities: Array, cfg: TileConfig,
+                     rotations: Array | None = None
+                     ) -> tuple[Array, Array, Array, Array, Array, Array]:
+    """Stage 0 of binning: per-surfel raster footprint bounds.
 
-    means (N, 3) world; returns per-tile nearest-first candidate lists.
-    Tiles are indexed row-major over (tiles_y, tiles_x).
-
-    col_offset/num_cols restrict binning to a column band [col_offset,
-    col_offset + num_cols) of the full raster — the unit of ray-parallel
-    sharding across chips (each device bins + renders its own band).
+    Returns (row_lo, row_hi, col_c, col_half, rng, live) — the projected
+    center column, the row interval covered by the splat's angular extent,
+    its azimuth half-width in columns, center range, and liveness.
 
     rotations (N, 4) enables ORIENTED footprint bounds: the angular extent
     of the splat disk is its support function along the elevation/azimuth
@@ -119,12 +116,6 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     isotropic bound floods every row tile with near-ground candidates,
     evicting the true (farther) candidates from the K budget.
     """
-    h = grid.height
-    n = means.shape[0]
-    num_cols = width if num_cols is None else num_cols
-    tiles_y, tiles_x = cfg.num_tiles(h, num_cols)
-    t_total = tiles_y * tiles_x
-
     row_c, col_c, rng = rays_lib.project_points(grid, means, world2sensor,
                                                 width)
     safe_rng = jnp.maximum(rng, geometry.DEPTH_MIN)
@@ -180,6 +171,31 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     col_half = jnp.minimum(col_half, width / 2.0)
 
     live = (opacities > geometry.ALPHA_MIN) & (rng > geometry.DEPTH_MIN)
+    return row_lo, row_hi, col_c, col_half, rng, live
+
+
+def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
+                means: Array, scales: Array, opacities: Array,
+                cfg: TileConfig, col_offset: int = 0,
+                num_cols: int | None = None,
+                rotations: Array | None = None) -> TileAssignment:
+    """Assign surfels to range-image tiles.
+
+    means (N, 3) world; returns per-tile nearest-first candidate lists.
+    Tiles are indexed row-major over (tiles_y, tiles_x).
+
+    col_offset/num_cols restrict binning to a column band [col_offset,
+    col_offset + num_cols) of the full raster — the unit of ray-parallel
+    sharding across chips (each device bins + renders its own band).
+    """
+    h = grid.height
+    n = means.shape[0]
+    num_cols = width if num_cols is None else num_cols
+    tiles_y, tiles_x = cfg.num_tiles(h, num_cols)
+    t_total = tiles_y * tiles_x
+
+    row_lo, row_hi, col_c, col_half, rng, live = footprint_bounds(
+        grid, width, world2sensor, means, scales, opacities, cfg, rotations)
 
     if cfg.binner == "sort":
         return _select_sorted(cfg, h, width, num_cols, col_offset, tiles_y,

@@ -74,7 +74,38 @@ def f_gather(bundle, assignment):
                                    assignment.valid)
 
 
+@jax.jit
+def f_bin_stage0(bundle):
+    """Binning stage 0: per-surfel projections + footprint bounds only."""
+    from lidar_rt_tpu.ops.binning import footprint_bounds
+
+    w2s = transforms.invert_se3(s2w)
+    return footprint_bounds(grid, W, w2s, bundle.means, bundle.scales,
+                            bundle.opacities, tile, bundle.rotations)
+
+
+@jax.jit
+def f_bin_stage1(bounds):
+    """Hier stage 1 alone: per-sector column top-K_c."""
+    from lidar_rt_tpu.ops.binning import _top_k
+
+    row_lo, row_hi, col_c, col_half, rng, live = bounds
+    tiles_x = -(-W // tile.tile_w)
+    k_c = min(tile.coarse_factor * tile.max_per_tile, rng.shape[0])
+    tx = jnp.arange(tiles_x)
+    tile_col_c = jnp.mod((tx.astype(jnp.float32) + 0.5) * tile.tile_w,
+                         float(W))
+    dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
+    dcol = jnp.minimum(dcol, W - dcol)
+    col_overlap = (dcol <= (col_half[None, :] + tile.tile_w / 2.0 + 0.5)) \
+        & live[None, :]
+    score = jnp.where(col_overlap, rng[None, :], jnp.inf)
+    return _top_k(tile, -score, k_c)
+
+
 assignment = timeit("bin", f_bin, bundle)
+bounds = timeit("bin stage0 (bounds)", f_bin_stage0, bundle)
+timeit("bin stage1 (topKc)", f_bin_stage1, bounds)
 dirs_t = timeit("dirs gather+tile", f_dirs, bundle)
 timeit("sh basis", f_basis, dirs_t)
 timeit("build_frames (all N)", f_frames, bundle)

@@ -32,14 +32,15 @@ H, W = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2
                          else "32x512").split("x"))
 
 CONFIGS = [
-    ("hier/approx 16x256 K=128", TileConfig(tile_h=16, tile_w=256,
-                                            max_per_tile=128, binner="hier",
-                                            approx_topk=True)),
-    ("hier/approx 16x256 K=256", TileConfig(tile_h=16, tile_w=256,
-                                            max_per_tile=256, binner="hier",
-                                            approx_topk=True)),
-    ("hier/exact 16x128 K=512 (r1-like)",
-     TileConfig(tile_h=16, tile_w=128, max_per_tile=512, binner="hier")),
+    ("hier/approx 4x128 K=128", TileConfig(tile_h=4, tile_w=128,
+                                           max_per_tile=128, binner="hier",
+                                           approx_topk=True)),
+    ("hier/approx 4x256 K=128", TileConfig(tile_h=4, tile_w=256,
+                                           max_per_tile=128, binner="hier",
+                                           approx_topk=True)),
+    ("hier/approx 8x128 K=256", TileConfig(tile_h=8, tile_w=128,
+                                           max_per_tile=256, binner="hier",
+                                           approx_topk=True)),
 ]
 
 

@@ -66,7 +66,7 @@ def run_prep(bundle, assignment):
 
 @jax.jit
 def run_kernel(inputs):
-    return pt._core_fwd_call(512, *inputs)
+    return pt._core_fwd_call(512, False, *inputs)
 
 
 @jax.jit

@@ -26,13 +26,11 @@ ITERS = 8
 
 CONFIGS = [
     # (binner, tile_h, tile_w, K, ray_block, approx_topk)
-    ("hier", 16, 256, 128, 512, False),
-    ("hier", 16, 256, 128, 512, True),
-    ("hier", 16, 128, 128, 512, True),
-    ("hier", 32, 128, 128, 512, True),
-    ("hier", 16, 512, 128, 512, True),
-    ("hier", 8, 256, 128, 512, True),
-    ("hier", 16, 256, 256, 512, True),
+    ("hier", 8, 128, 256, 512, True),     # round-2 quality champion
+    ("hier", 4, 128, 128, 512, True),
+    ("hier", 4, 256, 128, 512, True),
+    ("hier", 4, 128, 256, 512, True),
+    ("hier", 2, 128, 128, 256, True),
 ]
 
 
