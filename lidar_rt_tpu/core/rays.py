@@ -84,8 +84,14 @@ def row_of_inclination(grid: SensorGrid, inclination: Array) -> Array:
     answer for footprints that poke past the first/last beam.
     """
     rows_rev = grid.row_inclinations[::-1]  # increasing
-    h = grid.height
-    hi = jnp.clip(jnp.searchsorted(rows_rev, inclination), 1, h - 1)
+    h = jnp.shape(rows_rev)[0]
+    # Branchless searchsorted: count table entries < x.  The beam table is
+    # tiny (64-128 rows) so the broadcast compare is one fused VPU pass,
+    # where jnp.searchsorted lowers to a gather-per-step bisection loop
+    # that dominates the binner's per-surfel stage on 100k+ points.
+    x = inclination[..., None]
+    hi = jnp.clip(jnp.sum((rows_rev < x).astype(jnp.int32), axis=-1),
+                  1, h - 1)
     lo = hi - 1
     x0, x1 = rows_rev[lo], rows_rev[hi]
     frac = (inclination - x0) / jnp.maximum(x1 - x0, 1e-12)

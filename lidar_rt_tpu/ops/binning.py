@@ -54,6 +54,12 @@ class TileConfig:
     dup_rows: int = 2
     dup_cols: int = 8
     coarse_factor: int = 8   # hier binner: coarse K = coarse_factor * K
+    # hier binner macro level: pre-select per macro column sector
+    # (macro_cols wide, 0 = off) so the per-tile-sector stage scores a
+    # (tiles_x, K_a) matrix instead of (tiles_x, N) — the stage whose cost
+    # grows with azimuth tile count.  K_a = macro_factor * coarse K.
+    macro_cols: int = 0
+    macro_factor: int = 4
     # TPU-native approximate top-k (jax.lax.approx_max_k) for the candidate
     # selection.  Binning is a stop-gradient visibility oracle (like the
     # reference's BVH), so a bounded recall loss only risks dropping a few
@@ -146,10 +152,15 @@ def footprint_bounds(grid: rays_lib.SensorGrid, width: int,
         d_vec = jnp.stack([cos_i * cos_a, cos_i * sin_a, sin_i], -1)
         rot = quat_lib.to_rotation_matrix(rotations)
         # Splat axes in the sensor frame, pre-scaled by the cutoff extent.
-        w1 = jnp.einsum("ij,njk->nik", world2sensor[:3, :3], rot,
-                        precision=hp)
-        s1 = (scales[:, 0] * cut)[:, None] * w1[:, :, 0]
-        s2 = (scales[:, 1] * cut)[:, None] * w1[:, :, 1]
+        # Only the two tangent columns are needed; expressing each as one
+        # (N, 3) @ (3, 3) matmul avoids the batched-3x3 einsum, which
+        # lowers to tiny per-splat MXU ops.
+        w1_col0 = jnp.einsum("nj,ij->ni", rot[:, :, 0],
+                             world2sensor[:3, :3], precision=hp)
+        w1_col1 = jnp.einsum("nj,ij->ni", rot[:, :, 1],
+                             world2sensor[:3, :3], precision=hp)
+        s1 = (scales[:, 0] * cut)[:, None] * w1_col0
+        s2 = (scales[:, 1] * cut)[:, None] * w1_col1
 
         def support(direction):
             return jnp.sqrt(jnp.sum(s1 * direction, -1) ** 2
@@ -344,7 +355,11 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
 
     Exactness: equal to the flat topk binner whenever a sector's total
     column-overlap count is <= K_c (stage-1 truncation is counted in
-    `truncated` otherwise).
+    `truncated` otherwise).  With macro_cols > 0 an extra macro column
+    level pre-selects K_a candidates per macro sector so this stage scores
+    (tiles_x, K_a) instead of (tiles_x, N); a surfel overlapping a fine
+    sector always overlaps its parent macro sector (the margin telescopes),
+    so the macro level only adds (counted) nearest-K_a truncation.
     """
     n = rng.shape[0]
     k = cfg.max_per_tile
@@ -353,16 +368,55 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
     tx = jnp.arange(tiles_x)
     tile_col_c = jnp.mod(col_offset + (tx.astype(jnp.float32) + 0.5)
                          * cfg.tile_w, float(width))
-    dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
-    dcol = jnp.minimum(dcol, width - dcol)
-    col_overlap = (dcol <= (col_half[None, :] + cfg.tile_w / 2.0 + 0.5)) \
-        & live[None, :]                                     # (tiles_x, N)
 
-    score = jnp.where(col_overlap, rng[None, :], jnp.inf)
-    neg_top, idx_c = _top_k(cfg, -score, k_c)               # nearest first
-    valid_c = jnp.isfinite(-neg_top)                        # (tiles_x, K_c)
+    macro_trunc_tx = jnp.zeros((tiles_x,), jnp.int32)
+    if cfg.macro_cols and cfg.macro_cols > cfg.tile_w \
+            and cfg.macro_factor * k_c < n:
+        g = max(cfg.macro_cols // cfg.tile_w, 1)
+        m_total = -(-tiles_x // g)
+        k_a = min(cfg.macro_factor * k_c, n)
+        mx = jnp.arange(m_total)
+        macro_c = jnp.mod(col_offset + (mx.astype(jnp.float32) * g + g / 2.0)
+                          * cfg.tile_w, float(width))
+        dcol_m = jnp.abs(col_c[None, :] - macro_c[:, None])
+        dcol_m = jnp.minimum(dcol_m, width - dcol_m)
+        over_m = (dcol_m <= (col_half[None, :]
+                             + g * cfg.tile_w / 2.0 + 0.5)) \
+            & live[None, :]                                 # (M, N)
+        score_m = jnp.where(over_m, rng[None, :], jnp.inf)
+        neg_a, idx_a = _top_k(cfg, -score_m, k_a)           # (M, K_a)
+        valid_a = jnp.isfinite(-neg_a)
+        macro_trunc = jnp.maximum(jnp.sum(over_m, axis=-1) - k_a, 0)
+        # Expand each fine sector's parent candidate list.
+        parent = tx // g                                    # (tiles_x,)
+        cand = idx_a[parent]                                # (tiles_x, K_a)
+        cand_ok = valid_a[parent]
+        col_c_x = col_c[cand]
+        col_half_x = col_half[cand]
+        rng_x = rng[cand]
+        dcol = jnp.abs(col_c_x - tile_col_c[:, None])
+        dcol = jnp.minimum(dcol, width - dcol)
+        col_overlap = (dcol <= (col_half_x + cfg.tile_w / 2.0 + 0.5)) \
+            & cand_ok                                       # (tiles_x, K_a)
+        score = jnp.where(col_overlap, rng_x, jnp.inf)
+        kk_c = min(k_c, k_a)
+        neg_top, sel_c = _top_k(cfg, -score, kk_c)
+        valid_c = jnp.isfinite(-neg_top)
+        idx_c = jnp.take_along_axis(cand, sel_c, axis=-1)   # (tiles_x, K_c)
+        k_c = kk_c
+        macro_trunc_tx = macro_trunc[parent]
+    else:
+        dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
+        dcol = jnp.minimum(dcol, width - dcol)
+        col_overlap = (dcol <= (col_half[None, :] + cfg.tile_w / 2.0 + 0.5)) \
+            & live[None, :]                                 # (tiles_x, N)
+
+        score = jnp.where(col_overlap, rng[None, :], jnp.inf)
+        neg_top, idx_c = _top_k(cfg, -score, k_c)           # nearest first
+        valid_c = jnp.isfinite(-neg_top)                    # (tiles_x, K_c)
     coarse_trunc = jnp.maximum(
-        jnp.sum(col_overlap, axis=-1) - k_c, 0)             # (tiles_x,)
+        jnp.sum(col_overlap, axis=-1) - k_c, 0) \
+        + macro_trunc_tx                                    # (tiles_x,)
 
     # Stage 2: row-tile refinement over sector candidates.
     row_lo_c = row_lo[idx_c]                                # (tiles_x, K_c)

@@ -205,7 +205,20 @@ class Trainer:
 
     def __init__(self, scene: Scene, frames: LiDARFrames, args,
                  trace_cfg: tracer_lib.TraceConfig | None = None,
-                 seed: int | None = None):
+                 seed: int | None = None,
+                 warmup_cfg: tracer_lib.TraceConfig | None = None,
+                 warmup_until: int | None = None):
+        """warmup_cfg/warmup_until: optional candidate-budget schedule.
+
+        Early training has huge splat footprints (init scales, pre-prune):
+        each RAY's overlap count exceeds a steady-state K budget and the
+        truncation permanently degrades convergence.  The reference handles
+        this with unbounded k-buffer re-launches (forward.cu:282-291); the
+        static-shape TPU analogue is a two-phase budget — a large-K
+        warmup config until `warmup_until` (default: densify_until_iter,
+        when pruning has normalized footprints), then the steady-state
+        `trace_cfg`.  Costs exactly one extra compile at the switch.
+        """
         self.frames = frames
         self.args = args
         self.trace_cfg = trace_cfg or tracer_lib.TraceConfig(
@@ -215,8 +228,16 @@ class Trainer:
         np.random.seed(seed)
         self.state, self.opt_bg, self.opt_ac = init_train_state(
             scene, args.opt, seed)
-        self.step_fn = make_train_step(frames, args, self.trace_cfg,
-                                       self.opt_bg, self.opt_ac)
+        self._main_step = make_train_step(frames, args, self.trace_cfg,
+                                          self.opt_bg, self.opt_ac)
+        self.warmup_until = 0
+        if warmup_cfg is not None:
+            self.warmup_until = (int(args.opt.densify_until_iter)
+                                 if warmup_until is None else warmup_until)
+            self._warmup_step = make_train_step(
+                frames, args, warmup_cfg, self.opt_bg, self.opt_ac)
+        self.step_fn = (self._warmup_step if self.warmup_until
+                        else self._main_step)
         self._frame_stack: list[int] = []
         self.iteration = 0
         self.history: list[dict] = []
@@ -241,6 +262,10 @@ class Trainer:
 
             if it % int(opt_cfg.sh_increase_interval) == 0:
                 self.state.scene = self.state.scene.one_up_sh_degree()
+
+            if self.warmup_until and it > self.warmup_until:
+                self.step_fn = self._main_step
+                self.warmup_until = 0
 
             batch = frame_batch(self.frames, self._next_frame())
             self.state, metrics = self.step_fn(self.state, batch)

@@ -31,16 +31,11 @@ ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 H, W = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2
                          else "32x512").split("x"))
 
+# (name, steady tile, warmup tile | None)
 CONFIGS = [
-    ("hier/approx 4x128 K=128", TileConfig(tile_h=4, tile_w=128,
-                                           max_per_tile=128, binner="hier",
-                                           approx_topk=True)),
-    ("hier/approx 4x256 K=128", TileConfig(tile_h=4, tile_w=256,
-                                           max_per_tile=128, binner="hier",
-                                           approx_topk=True)),
-    ("hier/approx 8x128 K=256", TileConfig(tile_h=8, tile_w=128,
-                                           max_per_tile=256, binner="hier",
-                                           approx_topk=True)),
+    ("hier/approx 8x128 K=256 cf4", TileConfig(
+        tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
+        approx_topk=True, coarse_factor=4), None),
 ]
 
 
@@ -61,7 +56,13 @@ def masked_eval(out, frames, f):
     }
 
 
-def run(name, tile):
+def run(name, tile, warmup_tile=None):
+    # Scene assembly consumes the global numpy RNG; seed it per run so
+    # every config trains on the SAME initial scene (otherwise batch
+    # position confounds the comparison).
+    import random as _random
+    _random.seed(0)
+    np.random.seed(0)
     frames, track = synthetic.generate(num_frames=4, height=H, width=W)
     d = default_experiment().to_dict()
     d["opt"].update(densify_until_iter=ITERS * 5 // 12,
@@ -72,7 +73,9 @@ def run(name, tile):
                                  capacity_headroom=2.0)
     cfg = tracer_lib.TraceConfig(tile=tile, exact_order=False,
                                  ray_block=512)
-    trainer = loop.Trainer(scene, frames, args, cfg)
+    wcfg = None if warmup_tile is None else tracer_lib.TraceConfig(
+        tile=warmup_tile, exact_order=False, ray_block=512)
+    trainer = loop.Trainer(scene, frames, args, cfg, warmup_cfg=wcfg)
     f_eval = frames.eval_frames[0] if frames.eval_frames else 0
 
     t0 = time.perf_counter()
@@ -87,5 +90,5 @@ def run(name, tile):
 
 
 if __name__ == "__main__":
-    for name, tile in CONFIGS:
-        run(name, tile)
+    for name, tile, warm in CONFIGS:
+        run(name, tile, warm)

@@ -18,7 +18,7 @@ ITERS = 20
 grid = rays_lib.SensorGrid.from_bounds(H, (-0.31, 0.04), pixel_offset=0.5)
 s2w = jnp.eye(4).at[2, 3].set(2.0)
 bundle = bench.street_scene_bundle(bench.N_SURFELS)
-tile = TileConfig(tile_h=32, tile_w=128, max_per_tile=128, binner="hier",
+tile = TileConfig(tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
                   approx_topk=True)
 cfg = pt.PallasTraceConfig(tile=tile, ray_block=512)
 

@@ -25,12 +25,12 @@ H, W = bench.H, bench.W
 ITERS = 8
 
 CONFIGS = [
-    # (binner, tile_h, tile_w, K, ray_block, approx_topk)
-    ("hier", 8, 128, 256, 512, True),     # round-2 quality champion
-    ("hier", 4, 128, 128, 512, True),
-    ("hier", 4, 256, 128, 512, True),
-    ("hier", 4, 128, 256, 512, True),
-    ("hier", 2, 128, 128, 256, True),
+    # (binner, tile_h, tile_w, K, ray_block, approx_topk, macro_cols,
+    #  coarse_factor)
+    ("hier", 8, 128, 256, 512, True, 0, 8),  # round-2 quality champion
+    ("hier", 8, 128, 256, 512, True, 0, 4),
+    ("hier", 8, 128, 256, 512, True, 0, 2),
+    ("hier", 8, 128, 256, 256, True, 0, 4),
 ]
 
 
@@ -41,10 +41,11 @@ def main() -> None:
     bg = jnp.array([0.0, 0.0, 1.0])
     bundle = bench.street_scene_bundle(bench.N_SURFELS)
 
-    for binner, th, tw, k, rb, approx in CONFIGS:
+    for binner, th, tw, k, rb, approx, macro, cf in CONFIGS:
         cfg = tracer_lib.TraceConfig(
             tile=TileConfig(tile_h=th, tile_w=tw, max_per_tile=k,
-                            binner=binner, approx_topk=approx),
+                            binner=binner, approx_topk=approx,
+                            macro_cols=macro, coarse_factor=cf),
             exact_order=False, ray_block=rb)
 
         @jax.jit
@@ -87,7 +88,7 @@ def main() -> None:
             t_b = bench_fn(bin_only)
             mray = H * W / (t_fb / 1e3) / 1e6
             mean_cnt = float(v) / ((-(-H // th)) * (-(-W // tw)))
-            tag = "approx" if approx else "exact"
+            tag = ("approx" if approx else "exact") + (f"/m{macro}" if macro else "") + f"/cf{cf}"
             print(f"{binner}/{tag} {th}x{tw} K={k} rb={rb}: "
                   f"fwd {t_f:.1f} ms  fwd+bwd {t_fb:.1f} ms "
                   f"({mray:.1f} Mray/s)  bin {t_b:.1f} ms  "

@@ -329,6 +329,55 @@ class TestHierBinner:
         assert int(np.asarray(asn.truncated).sum()) > 0
         assert np.asarray(asn.valid.sum(1)).max() <= 8
 
+    @pytest.mark.parametrize("seed", [0, 4])
+    def test_macro_level_matches_two_level(self, seed):
+        """With an unsaturated macro budget the 3-level selection equals
+        the 2-level hier binner exactly (the macro margin telescopes, so
+        any fine-sector overlap is inside its parent macro sector).
+
+        Surfels sit on an azimuth ring so each macro sector holds ~n/2
+        candidates: the macro level is ACTIVE (K_a < n) but unsaturated
+        (K_a > per-macro overlap)."""
+        rng = np.random.default_rng(seed)
+        n = 120
+        ang = rng.uniform(-np.pi, np.pi, n)
+        rad = rng.uniform(8.0, 15.0, n)
+        bundle = _random_bundle(n, seed=seed)._replace(
+            means=jnp.asarray(np.stack(
+                [rad * np.cos(ang), rad * np.sin(ang),
+                 rng.uniform(-1, 1, n)], -1), jnp.float32))
+        base = dict(tile_h=8, tile_w=64, max_per_tile=16, binner="hier",
+                    coarse_factor=2)
+        two = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                  bundle.scales, bundle.opacities,
+                                  binning.TileConfig(**base),
+                                  rotations=bundle.rotations)
+        # K_a = 3 * 32 = 96 < n = 120 (macro level active)
+        three = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                    bundle.scales, bundle.opacities,
+                                    binning.TileConfig(**base,
+                                                       macro_cols=128,
+                                                       macro_factor=3),
+                                    rotations=bundle.rotations)
+        assert int(np.asarray(three.truncated).sum()) \
+            == int(np.asarray(two.truncated).sum())  # no macro truncation
+        np.testing.assert_array_equal(np.asarray(two.valid),
+                                      np.asarray(three.valid))
+        np.testing.assert_array_equal(
+            np.asarray(two.index)[np.asarray(two.valid)],
+            np.asarray(three.index)[np.asarray(three.valid)])
+
+    def test_macro_truncation_counted(self):
+        bundle = _random_bundle(120, seed=2)
+        cfg = binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=8,
+                                 binner="hier", coarse_factor=2,
+                                 macro_cols=128, macro_factor=1)
+        asn = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), bundle.means,
+                                  bundle.scales, bundle.opacities, cfg,
+                                  rotations=bundle.rotations)
+        assert int(np.asarray(asn.truncated).sum()) > 0
+        assert np.asarray(asn.valid.sum(1)).max() <= 8
+
 
 class TestRaydropHeads:
     def test_sigmoid_vs_softmax_head(self):

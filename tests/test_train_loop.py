@@ -177,3 +177,27 @@ class TestPerActorDensify:
         # prune-only pass: no spawns anywhere, in either actor
         assert not ((~ba) & aa).any()
         assert aa[1].sum() < ba[1].sum()
+
+
+class TestWarmupSchedule:
+    def test_budget_switch_at_boundary(self):
+        """Two-phase candidate budget: the warmup (large-K) step runs until
+        warmup_until, then the steady-state step takes over — one extra
+        compile, loss stays finite across the switch."""
+        frames, track = synthetic.generate(num_frames=2, height=16,
+                                           width=128)
+        args = _small_args()
+        scene = build.assemble_scene(frames, [track], args,
+                                     capacity_headroom=1.5)
+        steady = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=128),
+            tile_batch=2)
+        warm = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=256),
+            tile_batch=2)
+        trainer = loop.Trainer(scene, frames, args, steady,
+                               warmup_cfg=warm, warmup_until=3)
+        assert trainer.step_fn is trainer._warmup_step
+        hist = trainer.run(iterations=6, log_every=1)
+        assert trainer.step_fn is trainer._main_step
+        assert all(np.isfinite(h["loss"]) for h in hist)
