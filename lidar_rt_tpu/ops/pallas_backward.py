@@ -117,16 +117,17 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
                       precision=jax.lax.Precision.HIGHEST)
         b_v = jnp.dot(dirs, w2_mat, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-        safe_qd = jnp.where(jnp.abs(qd) > geometry.DENOM_EPS, qd,
+        abs_qd = jnp.abs(qd)
+        safe_qd = jnp.where(abs_qd > geometry.DENOM_EPS, qd,
                             geometry.DENOM_EPS)
         t = p / safe_qd
         u = (a_u + t * b_u) * inv_s0
         v = (a_v + t * b_v) * inv_s1
         g = jnp.exp(-0.5 * (u * u + v * v))
         alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
+        # (the p == 0 gate is folded into opac at prep, as in the forward)
         ok = ((t >= mind)
-              & (jnp.abs(qd) > geometry.DENOM_EPS)
-              & (p != 0.0)
+              & (abs_qd > geometry.DENOM_EPS)
               & (alpha_raw >= geometry.ALPHA_MIN))
         alpha = jnp.where(ok, alpha_raw, 0.0)
         one_m = 1.0 - alpha

@@ -81,7 +81,7 @@ class PallasTraceConfig:
 def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
                     plane_ref, scale_ref, opac_ref, sign_ref, sh_ref,
                     chans_ref, accum_ref,
-                    traw_ref, tout_ref, sums_ref, alive_ref,
+                    traw_ref, sums_ref, alive_ref,
                     *, k_total: int, exact: bool):
     """One (tile, ray_block) grid step.
 
@@ -155,16 +155,17 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
                       precision=jax.lax.Precision.HIGHEST)
         b_v = jnp.dot(dirs, w2_mat, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-        safe_qd = jnp.where(jnp.abs(qd) > geometry.DENOM_EPS, qd,
+        abs_qd = jnp.abs(qd)
+        safe_qd = jnp.where(abs_qd > geometry.DENOM_EPS, qd,
                             geometry.DENOM_EPS)
         t = p / safe_qd
         u = (a_u + t * b_u) * inv_s0
         v = (a_v + t * b_v) * inv_s1
         g = jnp.exp(-0.5 * (u * u + v * v))
         alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
+        # (the p == 0 degenerate-plane gate is folded into opac at prep)
         ok = ((t >= mind)
-              & (jnp.abs(qd) > geometry.DENOM_EPS)
-              & (p != 0.0)
+              & (abs_qd > geometry.DENOM_EPS)
               & (alpha_raw >= geometry.ALPHA_MIN))
         alpha = jnp.where(ok, alpha_raw, 0.0)
 
@@ -179,20 +180,14 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
             one_m_s = 1.0 - alpha_s
             p_excl_s = lane_cumprod_excl(one_m_s)
             t_excl_s = p_excl_s * t_raw
-            t_incl_s = t_excl_s * one_m_s
-            live_s = (t_incl_s >= geometry.T_MIN).astype(jnp.float32)
             (t_excl,) = unsort_lanes(key_s, (t_excl_s,))
-            t_incl = t_excl * one_m
-            live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
+            live = (t_excl * one_m >= geometry.T_MIN).astype(jnp.float32)
             scan_p_excl, scan_one_m = p_excl_s, one_m_s
-            tout_incl, tout_live = t_incl_s, live_s
         else:
             p_excl = lane_cumprod_excl(one_m)
             t_excl = p_excl * t_raw                          # (R, KC)
-            t_incl = t_excl * one_m
-            live = (t_incl >= geometry.T_MIN).astype(jnp.float32)
+            live = (t_excl * one_m >= geometry.T_MIN).astype(jnp.float32)
             scan_p_excl, scan_one_m = p_excl, one_m
-            tout_incl, tout_live = t_incl, live
         w = alpha * t_excl * live
 
         # Channels.  Intensity (clamped, nonlinear) and depth stay per-pair;
@@ -218,19 +213,14 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         ], axis=1)
         sums_ref[...] += contrib
 
-        # carried transmittances.  tout needs prod(1 - alpha) over LIVE
-        # hits; Mosaic has no reduce_prod, but live is a prefix mask along
-        # the scan order (t_incl is monotone nonincreasing there), so the
-        # product equals t_incl at the last live position divided by the
-        # chunk-entry transmittance.  The chunk-exit transmittance is an
-        # order-independent product, so the scan-order tail is exact.
+        # carried raw transmittance (chunk-exit product, order-independent
+        # so the scan-order tail is exact).  The OUTPUT transmittance needs
+        # no tracking at all: by the alpha-compositing telescoping identity
+        # sum_i w_i = 1 - T_final exactly (including live-prefix cutoff and
+        # min_depth gating), so T_final = 1 - accumulated weight.
         last = K_CHUNK - 1
         new_traw = t_raw * scan_p_excl[:, last:] * scan_one_m[:, last:]
         traw_ref[...] = new_traw
-        masked = jnp.where(tout_live > 0.5, tout_incl, 2.0)
-        mn = jnp.min(masked, axis=1, keepdims=True)
-        tout_ref[...] *= jnp.where(mn > 1.5, 1.0,
-                                   mn / jnp.maximum(t_raw, 1e-30))
         alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
             jnp.int32)
 
@@ -242,7 +232,6 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         accum_ref[...] = jnp.zeros_like(accum_ref)
 
     traw_ref[...] = jnp.ones((r, 1), jnp.float32)
-    tout_ref[...] = jnp.ones((r, 1), jnp.float32)
     sums_ref[...] = jnp.zeros((r, 8), jnp.float32)
     alive_ref[0] = 1
     # Unrolled chunk loop: static slices vectorize better under Mosaic
@@ -261,8 +250,9 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         def _(c=c):
             chunk_body(c)
 
+    sums = sums_ref[...]
     chans_ref[0] = jnp.concatenate(
-        [sums_ref[...], tout_ref[...],
+        [sums, 1.0 - sums[:, 4:5],
          jnp.zeros((r, NUM_OUT_ROWS - 9), jnp.float32)], axis=1)  # (R, 16)
 
 
@@ -297,9 +287,12 @@ def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
     plane = jnp.stack([frames.p, frames.a_u, frames.a_v], axis=1)
     inv_scale = (1.0 / scales).transpose(0, 2, 1)         # (T, 2, K)
     # (T, 1, K): Mosaic block shapes need the trailing two dims lane-aligned.
-    # Binner validity folds into opacity: padded candidates get alpha = 0
-    # and drop out of the compositing and every gradient.
-    opac = (opac_g * assignment_valid)[:, None, :]
+    # Binner validity AND the degenerate-plane gate (p == 0, a per-candidate
+    # property) fold into opacity: such candidates get alpha = 0 and drop
+    # out of the compositing and every gradient — saving per-(ray, cand)
+    # comparisons in both kernels.
+    opac = (opac_g * assignment_valid
+            * (frames.p != 0.0).astype(opac_g.dtype))[:, None, :]
     sign = frames.sign[:, None, :]
     sh = sh_g.transpose(0, 3, 2, 1)                       # (T, 3, 16, K)
     return axes, plane, inv_scale, opac, sign, sh
@@ -374,7 +367,6 @@ def _core_fwd_call(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
         ],
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
-            pltpu.VMEM((rb, 1), jnp.float32),   # running output transmittance
             pltpu.VMEM((rb, 8), jnp.float32),   # channel accumulators
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],

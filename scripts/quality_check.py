@@ -33,9 +33,12 @@ H, W = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2
 
 # (name, steady tile, warmup tile | None)
 CONFIGS = [
-    ("hier/approx 8x128 K=256 cf4", TileConfig(
-        tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
-        approx_topk=True, coarse_factor=4), None),
+    ("hier/approx 16x128 K=512", TileConfig(
+        tile_h=16, tile_w=128, max_per_tile=512, binner="hier",
+        approx_topk=True), None),
+    ("hier/approx 8x128 K=384", TileConfig(
+        tile_h=8, tile_w=128, max_per_tile=384, binner="hier",
+        approx_topk=True), None),
 ]
 
 

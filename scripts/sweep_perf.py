@@ -28,9 +28,8 @@ CONFIGS = [
     # (binner, tile_h, tile_w, K, ray_block, approx_topk, macro_cols,
     #  coarse_factor)
     ("hier", 8, 128, 256, 512, True, 0, 8),  # round-2 quality champion
-    ("hier", 8, 128, 256, 512, True, 0, 4),
-    ("hier", 8, 128, 256, 512, True, 0, 2),
-    ("hier", 8, 128, 256, 256, True, 0, 4),
+    ("hier", 8, 128, 384, 512, True, 0, 8),
+    ("hier", 16, 128, 512, 512, True, 0, 8),
 ]
 
 
