@@ -80,24 +80,38 @@ def main() -> None:
                         binner="hier", approx_topk=True),
         exact_order=False, ray_block=512)
 
-    @jax.jit
-    def fwd_bwd(bundle):
+    def step(carry, _):
+        # The carry feeds back into the surfel means so lax.scan cannot
+        # elide or overlap iterations: each step is a full fresh fwd+bwd.
         def loss(b):
             out = tracer_lib.trace(b, grid, W, s2w, bg, 3, cfg)
             return (jnp.sum(jnp.abs(out.channels[..., 3])) * 1e-3
                     + jnp.sum(out.channels[..., 0] ** 2))
 
-        l, g = jax.value_and_grad(loss)(bundle)
-        return l, g.means
+        # 1e-30-scale coupling: numerically invisible, but the dynamic
+        # carry makes each iteration's input distinct so nothing hoists.
+        # Coupled through the (N,) opacities — an (N, 3) means coupling
+        # adds a measurable ~0.5 ms/iter of pure measurement overhead
+        # (lane-dim-3 layout).
+        b = bundle._replace(opacities=bundle.opacities + carry * 1e-30)
+        l, g = jax.value_and_grad(loss)(b)
+        return l + jnp.sum(g.opacities) * 1e-30, None
+
+    @jax.jit
+    def fwd_bwd_n(bundle):
+        # ITERS steps inside one jit: measures device throughput without
+        # per-dispatch host/tunnel latency (the device runs steps
+        # back-to-back; verified against the profiler timeline).
+        out, _ = jax.lax.scan(step, jnp.zeros(()), None, length=ITERS)
+        return out
 
     for _ in range(WARMUP):
-        l, g = fwd_bwd(bundle)
-    jax.block_until_ready((l, g))
+        l = fwd_bwd_n(bundle)
+    jax.block_until_ready(l)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        l, g = fwd_bwd(bundle)
-    jax.block_until_ready((l, g))
+    l = fwd_bwd_n(bundle)
+    jax.block_until_ready(l)
     dt = (time.perf_counter() - t0) / ITERS
 
     mrays = H * W / dt / 1e6

@@ -93,7 +93,13 @@ def row_of_inclination(grid: SensorGrid, inclination: Array) -> Array:
     hi = jnp.clip(jnp.sum((rows_rev < x).astype(jnp.int32), axis=-1),
                   1, h - 1)
     lo = hi - 1
-    x0, x1 = rows_rev[lo], rows_rev[hi]
+    # Gather-free table lookup: rows_rev[lo]/[hi] as one-hot masked sums
+    # over the (tiny) table axis.  TPU gathers run ~a row per cycle, so two
+    # (N,)-indexed gathers dominate this whole function on 100k+ points;
+    # two extra broadcast passes over (..., H) are ~20x cheaper.
+    j = jnp.arange(h)
+    x0 = jnp.sum(jnp.where(j == lo[..., None], rows_rev, 0.0), axis=-1)
+    x1 = jnp.sum(jnp.where(j == hi[..., None], rows_rev, 0.0), axis=-1)
     frac = (inclination - x0) / jnp.maximum(x1 - x0, 1e-12)
     idx_rev = lo.astype(inclination.dtype) + frac
     return (h - 1) - idx_rev

@@ -121,18 +121,24 @@ def footprint_bounds(grid: rays_lib.SensorGrid, width: int,
     have a tiny vertical silhouette but a large bounding sphere, and the
     isotropic bound floods every row tile with near-ground candidates,
     evicting the true (farther) candidates from the K budget.
-    """
-    row_c, col_c, rng = rays_lib.project_points(grid, means, world2sensor,
-                                                width)
-    safe_rng = jnp.maximum(rng, geometry.DEPTH_MIN)
 
-    # Sensor-frame inclination of the center (project_points recomputes it
-    # internally; reproduce it here for the row bound).
-    hp = jax.lax.Precision.HIGHEST
-    p = (jnp.einsum("ij,nj->ni", world2sensor[:3, :3], means, precision=hp)
-         + world2sensor[:3, 3])
-    horiz = jnp.maximum(jnp.linalg.norm(p[:, :2], axis=-1), 1e-12)
-    incl = jnp.arctan2(p[:, 2], horiz)
+    Written structure-of-arrays: every operation is on (N,) component
+    vectors.  (N, 3) / (N, 3, 3) intermediates put the size-3 axis in the
+    TPU lane dimension (3 of 128 lanes used) — measured 7x slower for this
+    whole stage.  Tangent-frame sines/cosines come from the Cartesian
+    components directly (sin_a = py / horiz etc.), not sin(atan2(...)).
+    """
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    r = world2sensor
+    px = r[0, 0] * mx + r[0, 1] * my + r[0, 2] * mz + r[0, 3]
+    py = r[1, 0] * mx + r[1, 1] * my + r[1, 2] * mz + r[1, 3]
+    pz = r[2, 0] * mx + r[2, 1] * my + r[2, 2] * mz + r[2, 3]
+    horiz = jnp.maximum(jnp.sqrt(px * px + py * py), 1e-12)
+    rng = jnp.sqrt(px * px + py * py + pz * pz)
+    safe_rng = jnp.maximum(rng, geometry.DEPTH_MIN)
+    incl = jnp.arctan2(pz, horiz)
+    azim = jnp.arctan2(py, px)
+    col_c = rays_lib.col_of_azimuth(grid, azim, width)
 
     cut = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opacities * 255.0,
                                              1.0 + 1e-6))) + cfg.cutoff_eps
@@ -141,37 +147,51 @@ def footprint_bounds(grid: rays_lib.SensorGrid, width: int,
         ang_row = jnp.arctan2(radius, safe_rng)
         ang_col = ang_row
     else:
-        from lidar_rt_tpu.core import quaternions as quat_lib
+        # Unit-direction trig from components (no sin/cos/atan2 maps).
+        inv_rng = 1.0 / safe_rng
+        sin_i = pz * inv_rng
+        cos_i = horiz * inv_rng
+        inv_h = 1.0 / horiz
+        sin_a = py * inv_h
+        cos_a = px * inv_h
 
-        azim = jnp.arctan2(p[:, 1], p[:, 0])
-        sin_i, cos_i = jnp.sin(incl), jnp.cos(incl)
-        sin_a, cos_a = jnp.sin(azim), jnp.cos(azim)
-        # Sensor-frame tangents at the surfel direction.
-        e_vec = jnp.stack([-sin_i * cos_a, -sin_i * sin_a, cos_i], -1)
-        a_vec = jnp.stack([-sin_a, cos_a, jnp.zeros_like(sin_a)], -1)
-        d_vec = jnp.stack([cos_i * cos_a, cos_i * sin_a, sin_i], -1)
-        rot = quat_lib.to_rotation_matrix(rotations)
-        # Splat axes in the sensor frame, pre-scaled by the cutoff extent.
-        # Only the two tangent columns are needed; expressing each as one
-        # (N, 3) @ (3, 3) matmul avoids the batched-3x3 einsum, which
-        # lowers to tiny per-splat MXU ops.
-        w1_col0 = jnp.einsum("nj,ij->ni", rot[:, :, 0],
-                             world2sensor[:3, :3], precision=hp)
-        w1_col1 = jnp.einsum("nj,ij->ni", rot[:, :, 1],
-                             world2sensor[:3, :3], precision=hp)
-        s1 = (scales[:, 0] * cut)[:, None] * w1_col0
-        s2 = (scales[:, 1] * cut)[:, None] * w1_col1
+        # Splat-plane axis columns R(q)[:, 0] and R(q)[:, 1], componentwise.
+        qn = rotations / jnp.maximum(
+            jnp.linalg.norm(rotations, axis=-1, keepdims=True), 1e-12)
+        qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+        c0x = 1.0 - 2.0 * (qy * qy + qz * qz)
+        c0y = 2.0 * (qx * qy + qw * qz)
+        c0z = 2.0 * (qx * qz - qw * qy)
+        c1x = 2.0 * (qx * qy - qw * qz)
+        c1y = 1.0 - 2.0 * (qx * qx + qz * qz)
+        c1z = 2.0 * (qy * qz + qw * qx)
 
-        def support(direction):
-            return jnp.sqrt(jnp.sum(s1 * direction, -1) ** 2
-                            + jnp.sum(s2 * direction, -1) ** 2)
+        # Rotate into the sensor frame and scale by the cutoff extent.
+        e0 = scales[:, 0] * cut
+        e1 = scales[:, 1] * cut
+        s1x = e0 * (r[0, 0] * c0x + r[0, 1] * c0y + r[0, 2] * c0z)
+        s1y = e0 * (r[1, 0] * c0x + r[1, 1] * c0y + r[1, 2] * c0z)
+        s1z = e0 * (r[2, 0] * c0x + r[2, 1] * c0y + r[2, 2] * c0z)
+        s2x = e1 * (r[0, 0] * c1x + r[0, 1] * c1y + r[0, 2] * c1z)
+        s2y = e1 * (r[1, 0] * c1x + r[1, 1] * c1y + r[1, 2] * c1z)
+        s2z = e1 * (r[2, 0] * c1x + r[2, 1] * c1y + r[2, 2] * c1z)
 
-        # Perspective safety: the nearest point of the disk along the view
-        # direction shortens the effective range.
-        rng_eff = jnp.maximum(safe_rng - support(d_vec),
+        def support(dx, dy, dz):
+            d1 = s1x * dx + s1y * dy + s1z * dz
+            d2 = s2x * dx + s2y * dy + s2z * dz
+            return jnp.sqrt(d1 * d1 + d2 * d2)
+
+        # Tangents: e = (-sin_i cos_a, -sin_i sin_a, cos_i),
+        #           a = (-sin_a, cos_a, 0), d = (cos_i cos_a, cos_i sin_a,
+        #           sin_i).  Perspective safety: the nearest point of the
+        #           disk along the view direction shortens the range.
+        rng_eff = jnp.maximum(safe_rng - support(cos_i * cos_a,
+                                                 cos_i * sin_a, sin_i),
                               geometry.DEPTH_MIN)
-        ang_row = jnp.arctan2(support(e_vec), rng_eff)
-        ang_col = jnp.arctan2(support(a_vec), rng_eff)
+        ang_row = jnp.arctan2(support(-sin_i * cos_a, -sin_i * sin_a,
+                                      cos_i), rng_eff)
+        ang_col = jnp.arctan2(support(-sin_a, cos_a,
+                                      jnp.zeros_like(sin_a)), rng_eff)
 
     # Row interval: inclinations are monotone decreasing in row index.
     row_lo = rays_lib.row_of_inclination(grid, incl + ang_row)  # smaller row
@@ -391,9 +411,9 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         parent = tx // g                                    # (tiles_x,)
         cand = idx_a[parent]                                # (tiles_x, K_a)
         cand_ok = valid_a[parent]
-        col_c_x = col_c[cand]
-        col_half_x = col_half[cand]
-        rng_x = rng[cand]
+        packed_m = jnp.stack([col_c, col_half, rng], axis=-1)
+        gm = packed_m[cand]                                 # (tiles_x, K_a, 3)
+        col_c_x, col_half_x, rng_x = gm[..., 0], gm[..., 1], gm[..., 2]
         dcol = jnp.abs(col_c_x - tile_col_c[:, None])
         dcol = jnp.minimum(dcol, width - dcol)
         col_overlap = (dcol <= (col_half_x + cfg.tile_w / 2.0 + 0.5)) \
@@ -418,10 +438,14 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         jnp.sum(col_overlap, axis=-1) - k_c, 0) \
         + macro_trunc_tx                                    # (tiles_x,)
 
-    # Stage 2: row-tile refinement over sector candidates.
-    row_lo_c = row_lo[idx_c]                                # (tiles_x, K_c)
-    row_hi_c = row_hi[idx_c]
-    rng_c = rng[idx_c]
+    # Stage 2: row-tile refinement over sector candidates.  One packed
+    # gather: TPU gathers cost ~a row per cycle, so three separate (N,)
+    # gathers are ~3x one (N, 3) gather.
+    packed = jnp.stack([row_lo, row_hi, rng], axis=-1)      # (N, 3)
+    g = packed[idx_c]                                       # (tiles_x, K_c, 3)
+    row_lo_c = g[..., 0]                                    # (tiles_x, K_c)
+    row_hi_c = g[..., 1]
+    rng_c = g[..., 2]
     ty = jnp.arange(tiles_y)
     t_row_lo = (ty * cfg.tile_h).astype(jnp.float32)
     t_row_hi = jnp.minimum((ty + 1) * cfg.tile_h, h).astype(jnp.float32)

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lidar_rt_tpu.core import quaternions as quat_lib
 from lidar_rt_tpu.core import rays as rays_lib
 from lidar_rt_tpu.core import sh as sh_lib
 from lidar_rt_tpu.core import transforms
@@ -265,36 +264,66 @@ def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
     TPU gathers run ~a row per cycle, so ten separate (N, ...) gathers cost
     ~10x one (N, 58) gather, and building frames for all N surfels wastes
     N / (T*K) times the work actually needed.
+
+    After the gather everything is computed in (T, row, K) layout — K in
+    the lane dimension — via one (T, K, 58) -> (T, 58, K) relayout.  The
+    earlier form did the quaternion/frame math on (T, K, 3[, 3]) arrays,
+    whose size-3 lane dimension uses 3 of 128 lanes; the row form also
+    lands each output directly in its kernel block layout (no per-field
+    transposes).
     """
     n = bundle.means.shape[0]
     idx = jnp.clip(assignment_index, 0, n - 1)            # (T, K)
+    # SH packed channel-major (3, 16) so rows 10:58 reshape straight into
+    # the kernel's (T, 3, 16, K) block.
     packed = jnp.concatenate([
         bundle.means, bundle.rotations, bundle.scales,
         bundle.opacities[:, None],
-        bundle.sh.reshape(n, 48)], axis=-1)               # (N, 58)
-    g = packed[idx]                                       # (T, K, 58)
-    means = g[..., 0:3]
-    quat = g[..., 3:7]
-    scales = g[..., 7:9]
-    opac_g = g[..., 9]
-    sh_g = g[..., 10:58].reshape(idx.shape + (16, 3))
+        bundle.sh.transpose(0, 2, 1).reshape(n, 48)], axis=-1)  # (N, 58)
+    g = packed[idx].transpose(0, 2, 1)                    # (T, 58, K)
+    t_tiles, _, k = g.shape
 
-    rot = quat_lib.to_rotation_matrix(quat)               # (T, K, 3, 3)
-    frames = geometry.build_frames(means, rot, origin)    # (T, K) fields
+    def row(i):
+        return g[:, i:i + 1, :]                           # (T, 1, K)
 
-    axes = jnp.stack([frames.n, frames.w1, frames.w2], axis=1)
-    axes = axes.transpose(0, 1, 3, 2)                     # (T, 3, 3, K)
-    plane = jnp.stack([frames.p, frames.a_u, frames.a_v], axis=1)
-    inv_scale = (1.0 / scales).transpose(0, 2, 1)         # (T, 2, K)
+    mx, my, mz = row(0), row(1), row(2)
+    qw, qx, qy, qz = row(3), row(4), row(5), row(6)
+    inv_norm = jax.lax.rsqrt(jnp.maximum(
+        qw * qw + qx * qx + qy * qy + qz * qz, 1e-24))
+    qw, qx, qy, qz = (qw * inv_norm, qx * inv_norm, qy * inv_norm,
+                      qz * inv_norm)
+
+    # Columns of R(q): w1 = col 0, w2 = col 1, n = col 2 (the splat axes
+    # and plane normal, core/quaternions.to_rotation_matrix).
+    w1x = 1.0 - 2.0 * (qy * qy + qz * qz)
+    w1y = 2.0 * (qx * qy + qw * qz)
+    w1z = 2.0 * (qx * qz - qw * qy)
+    w2x = 2.0 * (qx * qy - qw * qz)
+    w2y = 1.0 - 2.0 * (qx * qx + qz * qz)
+    w2z = 2.0 * (qy * qz + qw * qx)
+    nx = 2.0 * (qx * qz + qw * qy)
+    ny = 2.0 * (qy * qz - qw * qx)
+    nz = 1.0 - 2.0 * (qx * qx + qy * qy)
+
+    # Frame precomputations for the shared ray origin (geometry.build_frames).
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    dx_, dy_, dz_ = ox - mx, oy - my, oz - mz             # o - mu
+    p = -(nx * dx_ + ny * dy_ + nz * dz_)
+    a_u = w1x * dx_ + w1y * dy_ + w1z * dz_
+    a_v = w2x * dx_ + w2y * dy_ + w2z * dz_
+    sign = jnp.where(p < 0.0, 1.0, -1.0)
+
+    axes = jnp.concatenate([nx, ny, nz, w1x, w1y, w1z, w2x, w2y, w2z],
+                           axis=1).reshape(t_tiles, 3, 3, k)
+    plane = jnp.concatenate([p, a_u, a_v], axis=1)        # (T, 3, K)
+    inv_scale = 1.0 / g[:, 7:9, :]                        # (T, 2, K)
     # (T, 1, K): Mosaic block shapes need the trailing two dims lane-aligned.
     # Binner validity AND the degenerate-plane gate (p == 0, a per-candidate
     # property) fold into opacity: such candidates get alpha = 0 and drop
     # out of the compositing and every gradient — saving per-(ray, cand)
     # comparisons in both kernels.
-    opac = (opac_g * assignment_valid
-            * (frames.p != 0.0).astype(opac_g.dtype))[:, None, :]
-    sign = frames.sign[:, None, :]
-    sh = sh_g.transpose(0, 3, 2, 1)                       # (T, 3, 16, K)
+    opac = row(9) * assignment_valid[:, None, :] * (p != 0.0)
+    sh = g[:, 10:58, :].reshape(t_tiles, 3, 16, k)
     return axes, plane, inv_scale, opac, sign, sh
 
 

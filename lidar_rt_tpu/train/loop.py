@@ -200,6 +200,36 @@ def frame_batch(frames: LiDARFrames, f: int) -> FrameBatch:
         gt_mask=frames.mask(f))
 
 
+def make_train_step_n(frames: LiDARFrames, step_fn):
+    """Scan a whole span of training steps in ONE dispatch.
+
+    Per-call host cost through the device tunnel is ~1.4 ms base plus
+    per-leaf handle marshalling and the ground-truth image upload — at
+    Waymo scan sizes that was 3x the device time of the step itself.
+    Here the frame stacks live on the device once and the host passes only
+    (state, frame_ids (n,)); python-side schedule work (densify, SH
+    warmup, logging) happens between chunks (Trainer.run aligns chunk
+    boundaries to schedule events).
+
+    Returns step_n(state, frame_ids) -> (state, stacked metrics (n, ...)).
+    """
+    poses = jnp.asarray(np.asarray(frames.sensor2world), jnp.float32)
+    r1 = jnp.asarray(np.asarray(frames.range1), jnp.float32)
+    i1 = jnp.asarray(np.asarray(frames.intensity1), jnp.float32)
+
+    @jax.jit
+    def step_n(state: TrainState, frame_ids: Array):
+        def body(s, f):
+            batch = FrameBatch(frame=f, sensor2world=poses[f],
+                               gt_depth=r1[f], gt_intensity=i1[f],
+                               gt_mask=r1[f] != 0)
+            return step_fn(s, batch)
+
+        return jax.lax.scan(body, state, frame_ids)
+
+    return step_n
+
+
 class Trainer:
     """Python-side schedule orchestration (train.py:125-380)."""
 
@@ -238,6 +268,7 @@ class Trainer:
                 frames, args, warmup_cfg, self.opt_bg, self.opt_ac)
         self.step_fn = (self._warmup_step if self.warmup_until
                         else self._main_step)
+        self._step_n = None   # built lazily per active step_fn
         self._frame_stack: list[int] = []
         self.iteration = 0
         self.history: list[dict] = []
@@ -251,13 +282,56 @@ class Trainer:
             random.shuffle(self._frame_stack)
         return self._frame_stack.pop()
 
+    # Iterations scanned per dispatch when no schedule event intervenes.
+    # Through the device tunnel each dispatch costs ~1.4 ms base plus
+    # per-leaf marshalling + GT upload — 3x the device step time at Waymo
+    # scan sizes — so chunking multiplies training throughput.  One value
+    # => one extra compile (lax.scan length is static).
+    CHUNK = 20
+
+    def _next_event(self, it: int, hard_end: int, log_every: int) -> int:
+        """Earliest iteration > it needing python-side schedule work."""
+        opt_cfg = self.args.opt
+
+        def nm(interval):
+            return (it // interval + 1) * interval
+
+        cands = [hard_end, nm(int(opt_cfg.sh_increase_interval)),
+                 nm(log_every)]
+        if it < int(opt_cfg.densify_until_iter):
+            cands.append(nm(int(opt_cfg.densification_interval)))
+            cands.append(nm(int(opt_cfg.opacity_reset_interval)))
+            cands.append(int(opt_cfg.densify_until_iter))
+        if self.warmup_until:
+            cands.append(self.warmup_until)
+        return min(c for c in cands if c > it)
+
     def run(self, iterations: int | None = None,
             log_every: int = 100) -> list[dict]:
         opt_cfg = self.args.opt
         total = iterations or int(opt_cfg.iterations)
         t0 = time.time()
-        for local in range(1, total + 1):
+        local = 0
+        while local < total:
+            hard_end = self.iteration + (total - local)
+            free = self._next_event(self.iteration, hard_end,
+                                    log_every) - self.iteration
+            if free > self.CHUNK:
+                # Whole chunk strictly before the next schedule event:
+                # one dispatch, python sees only the final metrics.
+                if self._step_n is None:
+                    self._step_n = make_train_step_n(self.frames,
+                                                     self.step_fn)
+                ids = jnp.asarray([self._next_frame()
+                                   for _ in range(self.CHUNK)], jnp.int32)
+                self.state, m_stack = self._step_n(self.state, ids)
+                metrics = jax.tree.map(lambda x: x[-1], m_stack)
+                self.iteration += self.CHUNK
+                local += self.CHUNK
+                continue
+
             self.iteration += 1
+            local += 1
             it = self.iteration
 
             if it % int(opt_cfg.sh_increase_interval) == 0:
@@ -265,10 +339,17 @@ class Trainer:
 
             if self.warmup_until and it > self.warmup_until:
                 self.step_fn = self._main_step
+                self._step_n = None
                 self.warmup_until = 0
 
-            batch = frame_batch(self.frames, self._next_frame())
-            self.state, metrics = self.step_fn(self.state, batch)
+            # Single step, also via the device-resident scan (length 1 —
+            # its own one-time compile): avoids re-uploading GT images and
+            # keeps dispatch cost flat near schedule events.
+            if self._step_n is None:
+                self._step_n = make_train_step_n(self.frames, self.step_fn)
+            ids1 = jnp.asarray([self._next_frame()], jnp.int32)
+            self.state, m_stack = self._step_n(self.state, ids1)
+            metrics = jax.tree.map(lambda x: x[-1], m_stack)
 
             if it < int(opt_cfg.densify_until_iter):
                 if (it > int(opt_cfg.densify_from_iter)

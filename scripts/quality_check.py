@@ -33,12 +33,11 @@ H, W = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2
 
 # (name, steady tile, warmup tile | None)
 CONFIGS = [
-    ("hier/approx 16x128 K=512", TileConfig(
-        tile_h=16, tile_w=128, max_per_tile=512, binner="hier",
-        approx_topk=True), None),
-    ("hier/approx 8x128 K=384", TileConfig(
-        tile_h=8, tile_w=128, max_per_tile=384, binner="hier",
-        approx_topk=True), None),
+    ("warmup 8x128K256 -> 4x128 K=128 cf8", TileConfig(
+        tile_h=4, tile_w=128, max_per_tile=128, binner="hier",
+        approx_topk=True, coarse_factor=8), TileConfig(
+        tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
+        approx_topk=True)),
 ]
 
 

@@ -179,6 +179,45 @@ class TestPerActorDensify:
         assert aa[1].sum() < ba[1].sum()
 
 
+class TestChunkedDispatch:
+    def test_chunked_run_matches_stepwise(self):
+        """Trainer.run dispatches CHUNK-length lax.scan spans between
+        schedule events; the result must match the per-step path (same
+        frame sequence, same ops) to float tolerance."""
+        import random as pyrandom
+
+        def run(chunk):
+            frames, track = synthetic.generate(num_frames=2, height=16,
+                                               width=128)
+            args = _small_args()
+            d = args.to_dict()
+            # push every schedule event past the horizon so chunking can
+            # engage (free-span > CHUNK)
+            d["opt"].update(densify_from_iter=10_000,
+                            densify_until_iter=0, iterations=12,
+                            sh_increase_interval=10_000,
+                            opacity_reset_interval=10_000)
+            from lidar_rt_tpu.config import Args
+            scene = build.assemble_scene(frames, [track], Args(d),
+                                         capacity_headroom=1.5)
+            cfg = tracer_lib.TraceConfig(
+                tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=128),
+                tile_batch=2)
+            trainer = loop.Trainer(scene, frames, Args(d), cfg)
+            trainer.CHUNK = chunk
+            pyrandom.seed(1234)            # frame sampling uses the global rng
+            hist = trainer.run(iterations=12, log_every=10_000)
+            return trainer, hist
+
+        t_step, _ = run(chunk=10 ** 9)     # free-span never exceeds CHUNK
+        t_chunk, _ = run(chunk=4)          # three 4-step scans
+
+        assert t_chunk.iteration == t_step.iteration == 12
+        a = np.asarray(t_step.state.scene.background.xyz)
+        b = np.asarray(t_chunk.state.scene.background.xyz)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
 class TestWarmupSchedule:
     def test_budget_switch_at_boundary(self):
         """Two-phase candidate budget: the warmup (large-K) step runs until
