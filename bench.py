@@ -25,7 +25,13 @@ from lidar_rt_tpu.ops.composite import SurfelBundle
 
 H, W = 64, 2650
 N_SURFELS = 131_072
-WARMUP, ITERS = 2, 8
+WARMUP, ITERS = 2, 20
+# Rebin-interval amortization (train/loop.py BinCache): the tile assignment
+# is a stop-gradient visibility oracle re-binned every REBIN_EVERY renders
+# of a frame, not every step (quality-validated at training scale by
+# scripts/quality_check.py with the same interval and footprint pad).
+REBIN_EVERY = 10
+REBIN_PAD_PX = 2.0
 
 
 def street_scene_bundle(n: int, seed: int = 0) -> SurfelBundle:
@@ -77,33 +83,59 @@ def main() -> None:
     # binner with TPU-native approximate top-k, 8-row tiles, K=256.
     cfg = tracer_lib.TraceConfig(
         tile=TileConfig(tile_h=8, tile_w=128, max_per_tile=256,
-                        binner="hier", approx_topk=True),
+                        binner="hier", approx_topk=True,
+                        pad_px=REBIN_PAD_PX),
         exact_order=False, ray_block=512)
 
-    def step(carry, _):
-        # The carry feeds back into the surfel means so lax.scan cannot
+    from lidar_rt_tpu.core import transforms
+    from lidar_rt_tpu.ops.binning import TileAssignment, bin_surfels
+    w2s = transforms.invert_se3(s2w)
+
+    def step(carry, i):
+        # The carry feeds back into the surfel opacities so lax.scan cannot
         # elide or overlap iterations: each step is a full fresh fwd+bwd.
+        c, idx, val = carry
+        # 1e-30-scale coupling: numerically invisible, but the dynamic
+        # carry makes each iteration's input distinct so nothing hoists.
+        # The carry is the (N,) gradient VECTOR, not a reduced scalar: a
+        # scalar round-trip (full-array reduce -> rebroadcast next iter)
+        # serializes the device pipeline and adds ~0.5 ms/iter of pure
+        # measurement artifact (measured; see PERF_NOTES.md).
+        b = bundle._replace(opacities=bundle.opacities + c * 1e-30)
+
+        def rebin():
+            a = bin_surfels(grid, W, w2s, b.means, b.scales, b.opacities,
+                            cfg.tile, rotations=b.rotations)
+            return a.index.astype(jnp.int32), a.valid
+
+        idx, val = jax.lax.cond(i % REBIN_EVERY == 0, rebin,
+                                lambda: (idx, val))
+        assignment = TileAssignment(
+            index=idx, valid=val,
+            truncated=jnp.zeros((idx.shape[0],), jnp.int32))
+
         def loss(b):
-            out = tracer_lib.trace(b, grid, W, s2w, bg, 3, cfg)
+            out = tracer_lib.trace(b, grid, W, s2w, bg, 3, cfg,
+                                   assignment=assignment)
             return (jnp.sum(jnp.abs(out.channels[..., 3])) * 1e-3
                     + jnp.sum(out.channels[..., 0] ** 2))
 
-        # 1e-30-scale coupling: numerically invisible, but the dynamic
-        # carry makes each iteration's input distinct so nothing hoists.
-        # Coupled through the (N,) opacities — an (N, 3) means coupling
-        # adds a measurable ~0.5 ms/iter of pure measurement overhead
-        # (lane-dim-3 layout).
-        b = bundle._replace(opacities=bundle.opacities + carry * 1e-30)
         l, g = jax.value_and_grad(loss)(b)
-        return l + jnp.sum(g.opacities) * 1e-30, None
+        return (g.opacities, idx, val), None
+
+    tiles_y, tiles_x = cfg.tile.num_tiles(H, W)
+    t_total = tiles_y * tiles_x
 
     @jax.jit
     def fwd_bwd_n(bundle):
         # ITERS steps inside one jit: measures device throughput without
         # per-dispatch host/tunnel latency (the device runs steps
         # back-to-back; verified against the profiler timeline).
-        out, _ = jax.lax.scan(step, jnp.zeros(()), None, length=ITERS)
-        return out
+        carry0 = (jnp.zeros_like(bundle.opacities),
+                  jnp.zeros((t_total, cfg.tile.max_per_tile), jnp.int32),
+                  jnp.zeros((t_total, cfg.tile.max_per_tile), bool))
+        (out, _, _), _ = jax.lax.scan(step, carry0, jnp.arange(ITERS))
+        return jnp.sum(out)
 
     for _ in range(WARMUP):
         l = fwd_bwd_n(bundle)

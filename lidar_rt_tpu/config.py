@@ -167,6 +167,12 @@ def default_experiment() -> Args:
             "use_rayhit": True,
             "use_normal_init": True,
             "use_voxel_init": True,
+            # Rebin-interval amortization: re-bin a frame's tile assignment
+            # every N renders of that frame (0 = bin every step, the
+            # reference's rebuild-the-BVH-every-iteration behavior).  The
+            # cache is invalidated at every densify / opacity-reset event
+            # regardless, so staleness never crosses a surfel-set change.
+            "rebin_interval": 0,
         },
         "refine": {
             "use_refine": True,

@@ -67,6 +67,12 @@ class TileConfig:
     # truncate first anyway.
     approx_topk: bool = False
     approx_recall: float = 0.95
+    # Extra footprint padding in pixels (both axes).  Used when a tile
+    # assignment is REUSED across training steps (rebin-interval
+    # amortization): the pad absorbs the parameter drift between rebins so
+    # a splat moving toward a tile boundary stays listed.  0 for
+    # bin-every-step operation.
+    pad_px: float = 0.0
 
     def num_tiles(self, height: int, width: int) -> tuple[int, int]:
         """Tile counts with ceiling division — rasters whose dims don't
@@ -194,11 +200,11 @@ def footprint_bounds(grid: rays_lib.SensorGrid, width: int,
                                       jnp.zeros_like(sin_a)), rng_eff)
 
     # Row interval: inclinations are monotone decreasing in row index.
-    row_lo = rays_lib.row_of_inclination(grid, incl + ang_row)  # smaller row
-    row_hi = rays_lib.row_of_inclination(grid, incl - ang_row)
+    row_lo = rays_lib.row_of_inclination(grid, incl + ang_row) - cfg.pad_px
+    row_hi = rays_lib.row_of_inclination(grid, incl - ang_row) + cfg.pad_px
     # Azimuth half-width in columns (azimuth circle shrinks by cos incl).
     col_half = (ang_col / jnp.maximum(jnp.cos(incl), 1e-3)) \
-        * (width / (2.0 * jnp.pi))
+        * (width / (2.0 * jnp.pi)) + cfg.pad_px
     col_half = jnp.minimum(col_half, width / 2.0)
 
     live = (opacities > geometry.ALPHA_MIN) & (rng > geometry.DEPTH_MIN)

@@ -39,7 +39,7 @@ from lidar_rt_tpu.core import rays as rays_lib
 from lidar_rt_tpu.core import sh as sh_lib
 from lidar_rt_tpu.core import transforms
 from lidar_rt_tpu.ops import geometry
-from lidar_rt_tpu.ops.binning import TileConfig, bin_surfels
+from lidar_rt_tpu.ops.binning import TileAssignment, TileConfig, bin_surfels
 from lidar_rt_tpu.ops.composite import RenderOutputs, SurfelBundle
 from lidar_rt_tpu.ops.pallas_common import (lane_cumprod_excl, sh_basis_rows,
                                             use_interpret)
@@ -260,28 +260,34 @@ def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
                          ) -> tuple[Array, ...]:
     """Gather + lay out candidate arrays for the kernel: all (T, ..., K).
 
-    One packed gather, then frame math on the gathered candidates only:
-    TPU gathers run ~a row per cycle, so ten separate (N, ...) gathers cost
-    ~10x one (N, 58) gather, and building frames for all N surfels wastes
-    N / (T*K) times the work actually needed.
+    Two packed gathers, then frame math on the gathered candidates only:
+    the 10 geometric scalars travel as one (N, 10) pack (one gather beats
+    ten: TPU gathers cost ~a row per cycle regardless of width), while SH
+    is gathered directly from its (N, 16, 3) storage — folding it into one
+    (N, 58) pack was measured ~1 ms/step slower at 131k surfels: the pack
+    materializes a 30 MB concat (60 MB of HBM round trip at ~230 GB/s
+    effective) per step just to relayout data the gather touches 1/3 of.
 
     After the gather everything is computed in (T, row, K) layout — K in
-    the lane dimension — via one (T, K, 58) -> (T, 58, K) relayout.  The
-    earlier form did the quaternion/frame math on (T, K, 3[, 3]) arrays,
-    whose size-3 lane dimension uses 3 of 128 lanes; the row form also
-    lands each output directly in its kernel block layout (no per-field
-    transposes).
+    the lane dimension — via (T, K, .) -> (T, ., K) relayouts that fuse
+    into the gathers.  The earlier form did the quaternion/frame math on
+    (T, K, 3[, 3]) arrays, whose size-3 lane dimension uses 3 of 128
+    lanes; the row form also lands each output directly in its kernel
+    block layout (no per-field transposes).
     """
     n = bundle.means.shape[0]
     idx = jnp.clip(assignment_index, 0, n - 1)            # (T, K)
-    # SH packed channel-major (3, 16) so rows 10:58 reshape straight into
-    # the kernel's (T, 3, 16, K) block.
     packed = jnp.concatenate([
         bundle.means, bundle.rotations, bundle.scales,
-        bundle.opacities[:, None],
-        bundle.sh.transpose(0, 2, 1).reshape(n, 48)], axis=-1)  # (N, 58)
-    g = packed[idx].transpose(0, 2, 1)                    # (T, 58, K)
+        bundle.opacities[:, None]], axis=-1)              # (N, 10)
+    g = packed[idx].transpose(0, 2, 1)                    # (T, 10, K)
     t_tiles, _, k = g.shape
+    # (T, K, 16, 3) -> (T, 48, K) coeff-major rows -> (T, 3, 16, K)
+    # channel-major kernel block (the last transpose keeps K minor: cheap).
+    sh_g = (bundle.sh.reshape(n, 48)[idx]
+            .transpose(0, 2, 1)
+            .reshape(t_tiles, 16, 3, k)
+            .transpose(0, 2, 1, 3))                       # (T, 3, 16, K)
 
     def row(i):
         return g[:, i:i + 1, :]                           # (T, 1, K)
@@ -323,8 +329,7 @@ def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
     # out of the compositing and every gradient — saving per-(ray, cand)
     # comparisons in both kernels.
     opac = row(9) * assignment_valid[:, None, :] * (p != 0.0)
-    sh = g[:, 10:58, :].reshape(t_tiles, 3, 16, k)
-    return axes, plane, inv_scale, opac, sign, sh
+    return axes, plane, inv_scale, opac, sign, sh_g
 
 
 def _pad_indices(size: int, tile: int, wrap: bool) -> jnp.ndarray:
@@ -458,14 +463,22 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                   active_sh_degree: Array | int,
                   cfg: PallasTraceConfig, col_offset: int = 0,
                   render_width: int | None = None,
-                  min_depth: Array | None = None) -> tuple[Array, Array]:
+                  min_depth: Array | None = None,
+                  assignment: TileAssignment | None = None
+                  ) -> tuple[Array, Array]:
     """Pallas forward render -> (channels (H, W_r, 9), accum_weights (N,)).
 
     col_offset/render_width: column-band rendering for ray-parallel
     sharding, as in ops.tracer.trace.
 
     min_depth: optional per-ray (H, W_r) minimum hit range — the
-    multi-return re-trace input (reference forward.cu:282-291)."""
+    multi-return re-trace input (reference forward.cu:282-291).
+
+    assignment: optional precomputed tile assignment (multi-return reuse,
+    or the trainer's rebin-interval amortization — binning is a
+    stop-gradient visibility oracle, so a slightly stale assignment only
+    affects which candidates are visible, like the reference's BVH would
+    if rebuilt every k-th iteration)."""
     h, w = grid.height, width
     w_r = w if render_width is None else render_width
     th, tw = cfg.tile.tile_h, cfg.tile.tile_w
@@ -477,14 +490,15 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
     n_rb = rays_per_tile // rb
     n = bundle.means.shape[0]
 
-    world2sensor = transforms.invert_se3(sensor2world)
-    assignment = bin_surfels(
-        grid, w, jax.lax.stop_gradient(world2sensor),
-        jax.lax.stop_gradient(bundle.means),
-        jax.lax.stop_gradient(bundle.scales),
-        jax.lax.stop_gradient(bundle.opacities), cfg.tile,
-        col_offset=col_offset, num_cols=w_r,
-        rotations=jax.lax.stop_gradient(bundle.rotations))
+    if assignment is None:
+        world2sensor = transforms.invert_se3(sensor2world)
+        assignment = bin_surfels(
+            grid, w, jax.lax.stop_gradient(world2sensor),
+            jax.lax.stop_gradient(bundle.means),
+            jax.lax.stop_gradient(bundle.scales),
+            jax.lax.stop_gradient(bundle.opacities), cfg.tile,
+            col_offset=col_offset, num_cols=w_r,
+            rotations=jax.lax.stop_gradient(bundle.rotations))
 
     origin, dirs = rays_lib.range_rays(grid, w, sensor2world)
     hp_pad = tiles_y * th
@@ -541,14 +555,15 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
           cfg: PallasTraceConfig = PallasTraceConfig(),
           col_offset: int = 0,
           render_width: int | None = None,
-          min_depth: Array | None = None) -> RenderOutputs:
+          min_depth: Array | None = None,
+          assignment: TileAssignment | None = None) -> RenderOutputs:
     """Drop-in analogue of ops.tracer.trace on the Pallas path.  Fully
     differentiable w.r.t. the bundle: the kernel-level custom_vjp
     (ops/pallas_backward.py) produces candidate-space gradients and JAX
     autodiff carries them through the gather/frame/pose chain."""
     img, accum = trace_forward(bundle, grid, width, sensor2world,
                                active_sh_degree, cfg, col_offset,
-                               render_width, min_depth)
+                               render_width, min_depth, assignment)
     final_t = img[..., 8]
     color = img[..., 0:3] + final_t[..., None] * background[None, None, :]
     channels = jnp.concatenate([color, img[..., 3:8], final_t[..., None]],

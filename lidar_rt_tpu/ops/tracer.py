@@ -185,8 +185,7 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     """
     from lidar_rt_tpu.core import quaternions as quat_lib
 
-    if (cfg.resolve_engine(grid.height, width, render_width) == "pallas"
-            and assignment is None):
+    if cfg.resolve_engine(grid.height, width, render_width) == "pallas":
         from lidar_rt_tpu.ops import pallas_tracer
         pcfg = pallas_tracer.PallasTraceConfig(tile=cfg.tile,
                                                ray_block=cfg.ray_block,
@@ -194,7 +193,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
         return pallas_tracer.trace(bundle, grid, width, sensor2world,
                                    background, active_sh_degree, pcfg,
                                    col_offset, render_width,
-                                   min_depth=min_depth)
+                                   min_depth=min_depth,
+                                   assignment=assignment)
 
     h, w = grid.height, width
     w_r = w if render_width is None else render_width
@@ -288,7 +288,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
 
 def render_frame(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
                  sensor2world: Array, active_sh_degree: Array | int = 3,
-                 cfg: TraceConfig = TraceConfig(), use_rayhit: bool = True
+                 cfg: TraceConfig = TraceConfig(), use_rayhit: bool = True,
+                 assignment: TileAssignment | None = None
                  ) -> dict[str, Array]:
     """The render-bridge equivalent of `raytracing()` channel decoding
     (lib/gaussian_renderer/__init__.py:163-181): returns depth / intensity /
@@ -296,10 +297,13 @@ def render_frame(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
 
     Background = (0, 0, 1): empty rays get ray-drop logit 1 (train.py
     passes bg [0,0,1], train.py:104-106).
+
+    assignment: optional precomputed/cached tile assignment (the trainer's
+    rebin-interval amortization).
     """
     background = jnp.array([0.0, 0.0, 1.0])
     out = trace(bundle, grid, width, sensor2world, background,
-                active_sh_degree, cfg)
+                active_sh_degree, cfg, assignment=assignment)
     intensity = out.channels[..., 0]
     rayhit_logit = out.channels[..., 1]
     raydrop_logit = out.channels[..., 2]
@@ -329,14 +333,24 @@ def render_multi_return(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
     Return 1 is the standard render; return 2 re-traces each ray with the
     minimum hit range pushed past the first return by `return_gap` meters —
     the analytic analogue of a second laser echo (and of the reference's
-    re-launch from the last composited depth, forward.cu:282-291).
+    re-launch from the last composited depth, forward.cu:282-291).  The
+    tile assignment is binned once and shared by both returns (min_depth
+    only re-gates hits; the candidate sets are identical).
     """
+    assignment = bin_surfels(
+        grid, width, jax.lax.stop_gradient(transforms.invert_se3(
+            sensor2world)),
+        jax.lax.stop_gradient(bundle.means),
+        jax.lax.stop_gradient(bundle.scales),
+        jax.lax.stop_gradient(bundle.opacities), cfg.tile,
+        rotations=jax.lax.stop_gradient(bundle.rotations))
     r1 = render_frame(bundle, grid, width, sensor2world, active_sh_degree,
-                      cfg, use_rayhit)
+                      cfg, use_rayhit, assignment=assignment)
     min2 = jnp.maximum(r1["depth"], 0.0) + return_gap
     background = jnp.array([0.0, 0.0, 1.0])
     out2 = trace(bundle, grid, width, sensor2world, background,
-                 active_sh_degree, cfg, min_depth=min2)
+                 active_sh_degree, cfg, min_depth=min2,
+                 assignment=assignment)
     if use_rayhit:
         logits = jnp.stack([out2.channels[..., 1], out2.channels[..., 2]],
                            axis=-1)

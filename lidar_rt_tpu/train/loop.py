@@ -29,9 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from lidar_rt_tpu.core import transforms
 from lidar_rt_tpu.data.frames import LiDARFrames
 from lidar_rt_tpu.ops import tracer as tracer_lib
-from lidar_rt_tpu.ops.binning import TileConfig
+from lidar_rt_tpu.ops.binning import TileAssignment, TileConfig, bin_surfels
 from lidar_rt_tpu.scene import Scene, compose, split_by_asset
 from lidar_rt_tpu.train import density, losses, optim
 
@@ -48,6 +49,33 @@ class FrameBatch(NamedTuple):
     gt_mask: Array        # (H, W) bool
 
 
+class BinCache(NamedTuple):
+    """Per-frame cached tile assignments (rebin-interval amortization).
+
+    Binning is a stop-gradient visibility oracle (the BVH analogue); the
+    reference rebuilds its GAS every iteration (gaussian_renderer
+    __init__.py:142-145) because CUDA BVH builds are cheap relative to its
+    tracer, but on TPU binning is ~25% of a training step.  Between
+    densification events surfel positions drift by only ~lr-sized amounts,
+    so a frame's assignment binned with a few pixels of footprint padding
+    (TileConfig.pad_px) stays a superset of the true candidate set for many
+    steps.  `age[f]` counts renders since frame f was last binned; densify /
+    opacity-reset / capacity events invalidate the whole cache.
+    """
+
+    index: Array   # (F, T, K) int32
+    valid: Array   # (F, T, K) bool
+    age: Array     # (F,) int32
+
+    @staticmethod
+    def stale(num_frames: int, t_total: int, k: int) -> "BinCache":
+        return BinCache(
+            index=jnp.zeros((num_frames, t_total, k), jnp.int32),
+            valid=jnp.zeros((num_frames, t_total, k), bool),
+            age=jnp.full((num_frames,), jnp.iinfo(jnp.int32).max // 2,
+                         jnp.int32))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -58,6 +86,7 @@ class TrainState:
     stats_actors: density.DensifyStats | None = None
     key: Array = dataclasses.field(
         default_factory=lambda: jax.random.key(0))
+    bins: BinCache | None = None
 
 
 def init_train_state(scene: Scene, opt_args, seed: int = 0
@@ -80,8 +109,17 @@ def init_train_state(scene: Scene, opt_args, seed: int = 0
 
 
 def make_train_step(frames: LiDARFrames, args,
-                    trace_cfg: tracer_lib.TraceConfig, opt_bg, opt_ac):
-    """Build the jitted training step closure."""
+                    trace_cfg: tracer_lib.TraceConfig, opt_bg, opt_ac,
+                    rebin_every: int = 0):
+    """Build the jitted training step closure.
+
+    rebin_every > 0 enables rebin-interval amortization: the step renders
+    with the frame's cached tile assignment (state.bins) and re-bins it only
+    when its age reaches `rebin_every` renders (lax.cond — the binning work
+    is skipped entirely on cache hits).  The Trainer invalidates the cache
+    at every densify / opacity-reset event, so staleness is bounded by
+    min(rebin_every frame visits, one densification interval).
+    """
     lw = losses.LossWeights(
         depth_l1=args.opt.lambda_depth_l1,
         intensity_l1=args.opt.lambda_intensity_l1,
@@ -96,7 +134,8 @@ def make_train_step(frames: LiDARFrames, args,
                     // int(getattr(args.opt, "cd_max_points", 16384)))
     grid, width = frames.grid, frames.width
 
-    def loss_fn(params_bg, params_ac, probe, batch: FrameBatch, scene: Scene):
+    def loss_fn(params_bg, params_ac, probe, batch: FrameBatch, scene: Scene,
+                assignment: TileAssignment | None = None):
         bg = scene.background.with_params(params_bg)
         sc = dataclasses.replace(scene, background=bg)
         if params_ac is not None:
@@ -107,7 +146,8 @@ def make_train_step(frames: LiDARFrames, args,
         bundle = bundle._replace(means=bundle.means + probe)
         out = tracer_lib.render_frame(
             bundle, grid, width, batch.sensor2world,
-            sc.background.active_sh_degree, trace_cfg, use_rayhit)
+            sc.background.active_sh_degree, trace_cfg, use_rayhit,
+            assignment=assignment)
 
         cd = None
         if use_cd:
@@ -135,6 +175,39 @@ def make_train_step(frames: LiDARFrames, args,
                "depth": out["depth"]}
         return lb.total, aux
 
+    # Cache-aware binning: re-bin with padded footprints on stale frames,
+    # reuse the cached assignment otherwise.
+    bin_tile = dataclasses.replace(trace_cfg.tile,
+                                   pad_px=max(trace_cfg.tile.pad_px, 2.0))
+
+    def _assignment_from_cache(state: TrainState, batch: FrameBatch
+                               ) -> tuple[TileAssignment, BinCache]:
+        f = batch.frame
+        bins = state.bins
+        stale = bins.age[f] >= rebin_every
+
+        def fresh():
+            bundle, _ = compose(state.scene, f)
+            sg = jax.lax.stop_gradient
+            a = bin_surfels(
+                grid, width,
+                sg(transforms.invert_se3(batch.sensor2world)),
+                sg(bundle.means), sg(bundle.scales), sg(bundle.opacities),
+                bin_tile, rotations=sg(bundle.rotations))
+            return a.index.astype(jnp.int32), a.valid
+
+        idx, val = jax.lax.cond(
+            stale, fresh, lambda: (bins.index[f], bins.valid[f]))
+        t_total = idx.shape[0]
+        new_bins = BinCache(
+            index=bins.index.at[f].set(idx),
+            valid=bins.valid.at[f].set(val),
+            age=bins.age.at[f].set(jnp.where(stale, 1, bins.age[f] + 1)))
+        assignment = TileAssignment(
+            index=idx, valid=val,
+            truncated=jnp.zeros((t_total,), jnp.int32))
+        return assignment, new_bins
+
     @jax.jit
     def train_step(state: TrainState, batch: FrameBatch) -> tuple[
             TrainState, dict]:
@@ -143,10 +216,14 @@ def make_train_step(frames: LiDARFrames, args,
         params_ac = scene.actors.params() if scene.actors is not None else None
         probe = jnp.zeros((scene.total_capacity, 3))
 
+        assignment, new_bins = (None, state.bins)
+        if rebin_every:
+            assignment, new_bins = _assignment_from_cache(state, batch)
+
         argnums = (0, 2) if params_ac is None else (0, 1, 2)
         grads_and_aux = jax.value_and_grad(
             loss_fn, argnums=argnums, has_aux=True)(
-            params_bg, params_ac, probe, batch, scene)
+            params_bg, params_ac, probe, batch, scene, assignment)
         (loss, aux), grads = grads_and_aux
         if params_ac is None:
             g_bg, g_probe = grads
@@ -181,7 +258,7 @@ def make_train_step(frames: LiDARFrames, args,
         new_state = TrainState(
             scene=new_scene, opt_state_bg=opt_state_bg, stats_bg=stats_bg,
             opt_state_actors=opt_state_ac, stats_actors=stats_ac,
-            key=state.key)
+            key=state.key, bins=new_bins)
         bd = aux["breakdown"]
         metrics = {"loss": loss, "depth": bd.depth,
                    "intensity": bd.intensity, "raydrop": bd.raydrop,
@@ -256,24 +333,45 @@ class Trainer:
         seed = int(args.get("seed", 1)) if seed is None else seed
         random.seed(seed)
         np.random.seed(seed)
+        self.rebin_every = int(getattr(args.opt, "rebin_interval", 0))
         self.state, self.opt_bg, self.opt_ac = init_train_state(
             scene, args.opt, seed)
         self._main_step = make_train_step(frames, args, self.trace_cfg,
-                                          self.opt_bg, self.opt_ac)
+                                          self.opt_bg, self.opt_ac,
+                                          self.rebin_every)
         self.warmup_until = 0
         if warmup_cfg is not None:
             self.warmup_until = (int(args.opt.densify_until_iter)
                                  if warmup_until is None else warmup_until)
             self._warmup_step = make_train_step(
-                frames, args, warmup_cfg, self.opt_bg, self.opt_ac)
+                frames, args, warmup_cfg, self.opt_bg, self.opt_ac,
+                self.rebin_every)
+            self._warmup_cfg = warmup_cfg
         self.step_fn = (self._warmup_step if self.warmup_until
                         else self._main_step)
+        if self.rebin_every:
+            self.state.bins = self._fresh_bins(
+                warmup_cfg if self.warmup_until else self.trace_cfg)
         self._step_n = None   # built lazily per active step_fn
         self._frame_stack: list[int] = []
         self.iteration = 0
         self.history: list[dict] = []
         self.densify_log: list[dict] = []  # per-pass counts (train.py:450+)
         self.snapshot_dir: str | None = None  # set to enable NaN dumps
+
+    def _fresh_bins(self, cfg: tracer_lib.TraceConfig) -> BinCache:
+        tiles_y, tiles_x = cfg.tile.num_tiles(self.frames.height,
+                                              self.frames.width)
+        return BinCache.stale(self.frames.num_frames, tiles_y * tiles_x,
+                              cfg.tile.max_per_tile)
+
+    def _invalidate_bins(self) -> None:
+        """Mark every cached assignment stale (the surfel set changed:
+        densify clone/split/prune or opacity reset)."""
+        if self.state.bins is not None:
+            self.state.bins = self.state.bins._replace(
+                age=jnp.full_like(self.state.bins.age,
+                                  jnp.iinfo(jnp.int32).max // 2))
 
     def _next_frame(self) -> int:
         if not self._frame_stack:
@@ -341,6 +439,10 @@ class Trainer:
                 self.step_fn = self._main_step
                 self._step_n = None
                 self.warmup_until = 0
+                if self.rebin_every:
+                    # The steady-state config may tile differently: new
+                    # cache shape, everything stale.
+                    self.state.bins = self._fresh_bins(self.trace_cfg)
 
             # Single step, also via the device-resident scan (length 1 —
             # its own one-time compile): avoids re-uploading GT images and
@@ -396,6 +498,7 @@ class Trainer:
 
         if st.scene.actors is not None:
             self._densify_actors(k_ac, use_size)
+        self._invalidate_bins()
 
     def _densify_actors(self, key: Array, use_size: bool) -> None:
         """Per-actor densification: each actor is an independent model, as
@@ -463,6 +566,7 @@ class Trainer:
                                              st.opt_state_actors)
             st.scene = dataclasses.replace(st.scene, actors=ac)
             st.opt_state_actors = osta
+        self._invalidate_bins()
 
     def render_eval(self, frame: int) -> dict[str, Array]:
         # Jitted once; frame index and pose are traced so periodic in-

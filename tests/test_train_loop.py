@@ -240,3 +240,77 @@ class TestWarmupSchedule:
         hist = trainer.run(iterations=6, log_every=1)
         assert trainer.step_fn is trainer._main_step
         assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+class TestRebinAmortization:
+    """Rebin-interval amortization: cached tile assignments reused across
+    steps, re-binned on age expiry and invalidated by densify events."""
+
+    def _setup(self, rebin_interval, num_frames=2, iters=0,
+               densify_far=True):
+        frames, track = synthetic.generate(num_frames=num_frames, height=16,
+                                           width=128)
+        args = _small_args()
+        d = args.to_dict()
+        d["opt"].update(rebin_interval=rebin_interval)
+        if densify_far:
+            d["opt"].update(densify_from_iter=10_000, densify_until_iter=0,
+                            opacity_reset_interval=10_000,
+                            sh_increase_interval=10_000)
+        from lidar_rt_tpu.config import Args
+        args = Args(d)
+        scene = build.assemble_scene(frames, [track], args,
+                                     capacity_headroom=1.5)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=128),
+            tile_batch=2)
+        return loop.Trainer(scene, frames, args, cfg), frames
+
+    def test_cache_hit_reuses_assignment(self):
+        trainer, frames = self._setup(rebin_interval=3)
+        f = 0
+        batch = loop.frame_batch(frames, f)
+        s0 = trainer.state
+        assert int(s0.bins.age[f]) > 10 ** 6          # everything stale
+        s1, _ = trainer.step_fn(s0, batch)
+        assert int(s1.bins.age[f]) == 1               # fresh bin
+        idx1 = np.asarray(s1.bins.index[f])
+        assert np.asarray(s1.bins.valid[f]).any()
+        s2, _ = trainer.step_fn(s1, batch)
+        assert int(s2.bins.age[f]) == 2               # cache hit
+        np.testing.assert_array_equal(np.asarray(s2.bins.index[f]), idx1)
+        s3, _ = trainer.step_fn(s2, batch)
+        assert int(s3.bins.age[f]) == 3               # hit again
+        s4, _ = trainer.step_fn(s3, batch)
+        assert int(s4.bins.age[f]) == 1               # age expired: re-bin
+
+    def test_training_quality_with_rebin(self):
+        """A short cached-binning run must converge like bin-every-step:
+        same scene, same seed, depth error within a modest factor."""
+        import random as pyrandom
+
+        def run(interval):
+            trainer, frames = self._setup(rebin_interval=interval,
+                                          densify_far=False)
+            pyrandom.seed(77)
+            trainer.run(iterations=ITERS, log_every=40)
+            f_eval = frames.eval_frames[0] if frames.eval_frames else 0
+            out = trainer.render_eval(f_eval)
+            gt = frames.depth(f_eval)
+            m = np.asarray(frames.mask(f_eval))
+            err = np.abs(np.asarray(out["depth"]) - np.asarray(gt))[m]
+            return float(np.median(err))
+
+        base = run(0)
+        amortized = run(4)
+        assert np.isfinite(amortized)
+        assert amortized <= max(2.0 * base, base + 0.15)
+
+    def test_densify_invalidates_cache(self):
+        trainer, frames = self._setup(rebin_interval=100, densify_far=False)
+        trainer.run(iterations=25, log_every=100)   # crosses a densify pass
+        assert trainer.densify_log, "densify must have run"
+        # ages were reset at the event; no age may exceed renders since it
+        ages = np.asarray(trainer.state.bins.age)
+        fresh = ages[ages < 10 ** 6]
+        assert fresh.size == 0 or fresh.max() <= 25
