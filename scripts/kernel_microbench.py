@@ -22,14 +22,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lidar_rt_tpu.ops.pallas_common import lane_cumprod_excl  # noqa: E402
 
+import os
 T, R, K = 42, 4096, 128
-RB = 512
+RB = int(os.environ.get("MB_RB", 512))
 N_RB = R // RB
 ITERS = 20
 
 
 def kernel(level, dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
            opac_ref, sh_ref, out_ref, sums_ref):
+    if level.startswith("rowloop"):
+        return _rowloop_kernel(level, dirs_ref, basis_ref, axes_ref,
+                               plane_ref, scale_ref, opac_ref, sh_ref,
+                               out_ref, sums_ref)
     d0 = dirs_ref[0, :, 0:1]
     d1 = dirs_ref[0, :, 1:2]
     d2 = dirs_ref[0, :, 2:3]
@@ -53,16 +58,30 @@ def kernel(level, dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
     opac = opac_ref[0, :, ks]
 
     qd = d0 * n0 + d1 * n1 + d2 * n2
+    if level == "minimal":              # 6 ops/pair: qd + accumulate
+        sums_ref[...] = jnp.sum(qd, axis=1, keepdims=True)
+        out_ref[0] = jnp.broadcast_to(sums_ref[...].T, out_ref.shape[1:])
+        return
     b_u = d0 * w10 + d1 * w11 + d2 * w12
     b_v = d0 * w20 + d1 * w21 + d2 * w22
     safe_qd = jnp.where(jnp.abs(qd) > 1e-8, qd, 1e-8)
-    t = p / safe_qd
+    if level == "nodiv":
+        t = p * safe_qd          # WRONG math; times the divide's cost
+    else:
+        t = p / safe_qd
     u = (a_u + t * b_u) * inv_s0
     v = (a_v + t * b_v) * inv_s1
-    g = jnp.exp(-0.5 * (u * u + v * v))
+    d = u * u + v * v
+    if level == "noexp":
+        g = jnp.maximum(1.0 - 0.25 * d, 0.0) ** 2   # cheap poly stand-in
+    else:
+        g = jnp.exp(-0.5 * d)
     alpha_raw = jnp.minimum(0.99, opac * g)
     ok = (t >= 0.2) & (jnp.abs(qd) > 1e-8) & (p != 0.0) & (alpha_raw >= 0.004)
     alpha = jnp.where(ok, alpha_raw, 0.0)
+
+    if level in ("nodiv", "noexp"):
+        level = "full"
 
     if level == "intersect":
         sums_ref[...] = jnp.sum(alpha, axis=1, keepdims=True)
@@ -101,6 +120,54 @@ def kernel(level, dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
     out_ref[0] = jnp.concatenate(
         [contrib, jnp.zeros((RB, 16 - 8), jnp.float32)], axis=1).T
     sums_ref[...] = contrib[:, :1]
+
+
+def _rowloop_kernel(level, dirs_ref, basis_ref, axes_ref, plane_ref,
+                    scale_ref, opac_ref, sh_ref, out_ref, sums_ref):
+    """Same intersection math, but processed in 8-row (one-vreg) groups so
+    every intermediate is a single (8, K) vreg — if Mosaic keeps the chain
+    in vector registers, VMEM temporary traffic vanishes."""
+    ks = slice(0, K)
+    n0 = axes_ref[0, 0, 0:1, ks]
+    n1 = axes_ref[0, 0, 1:2, ks]
+    n2 = axes_ref[0, 0, 2:3, ks]
+    w10 = axes_ref[0, 1, 0:1, ks]
+    w11 = axes_ref[0, 1, 1:2, ks]
+    w12 = axes_ref[0, 1, 2:3, ks]
+    w20 = axes_ref[0, 2, 0:1, ks]
+    w21 = axes_ref[0, 2, 1:2, ks]
+    w22 = axes_ref[0, 2, 2:3, ks]
+    p = plane_ref[0, 0:1, ks]
+    a_u = plane_ref[0, 1:2, ks]
+    a_v = plane_ref[0, 2:3, ks]
+    inv_s0 = scale_ref[0, 0:1, ks]
+    inv_s1 = scale_ref[0, 1:2, ks]
+    opac = opac_ref[0, :, ks]
+
+    G = 8
+
+    def body(i, _):
+        sl = pl.ds(i * G, G)
+        d0 = dirs_ref[0, sl, 0:1]
+        d1 = dirs_ref[0, sl, 1:2]
+        d2 = dirs_ref[0, sl, 2:3]
+        qd = d0 * n0 + d1 * n1 + d2 * n2
+        b_u = d0 * w10 + d1 * w11 + d2 * w12
+        b_v = d0 * w20 + d1 * w21 + d2 * w22
+        safe_qd = jnp.where(jnp.abs(qd) > 1e-8, qd, 1e-8)
+        t = p / safe_qd
+        u = (a_u + t * b_u) * inv_s0
+        v = (a_v + t * b_v) * inv_s1
+        g = jnp.exp(-0.5 * (u * u + v * v))
+        alpha_raw = jnp.minimum(0.99, opac * g)
+        ok = ((t >= 0.2) & (jnp.abs(qd) > 1e-8) & (p != 0.0)
+              & (alpha_raw >= 0.004))
+        alpha = jnp.where(ok, alpha_raw, 0.0)
+        sums_ref[sl, :] = jnp.sum(alpha, axis=1, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, RB // G, body, 0)
+    out_ref[0] = jnp.broadcast_to(sums_ref[...].T, out_ref.shape[1:])
 
 
 def run(level):
@@ -143,14 +210,21 @@ def run(level):
             vmem_limit_bytes=96 * 1024 * 1024),
     )
 
-    g = jax.jit(lambda *a: f(*a))
+    # Checksum-fetch timing: the axon tunnel under-waits block_until_ready
+    # on unfetched outputs (PERF_NOTES round-2 item 3).
+    @jax.jit
+    def g(dirs, *a):
+        def body(i, acc):
+            # coupling via dirs so iterations cannot be CSE'd/elided;
+            # vector carry (scalar reduce->rebroadcast costs ~0.5 ms/iter)
+            (o,) = f(dirs + acc[None, :, None] * 1e-30, *a)
+            return acc + o[0, 0, :]
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((R,)))
+
     args = (dirs, basis, axes, plane, scale, opac, sh)
-    out = g(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(g(*args)))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = g(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(g(*args)))
     dt = (time.perf_counter() - t0) / ITERS
     pairs = T * R * K
     print(f"{level:10s}: {dt * 1e3:6.2f} ms   "
@@ -158,5 +232,8 @@ def run(level):
 
 
 if __name__ == "__main__":
-    for level in ("intersect", "scan", "full"):
+    import sys
+    levels = sys.argv[1:] or ("intersect", "scan", "full", "nodiv",
+                              "noexp", "rowloop")
+    for level in levels:
         run(level)

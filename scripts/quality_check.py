@@ -31,13 +31,18 @@ ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 H, W = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2
                          else "32x512").split("x"))
 
-# (name, steady tile, warmup tile | None)
+# (name, steady tile, warmup tile | None, opt overrides, ray_block)
+_T8K256 = TileConfig(tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
+                     approx_topk=True, pad_px=2.0)
+_T4K128 = TileConfig(tile_h=4, tile_w=128, max_per_tile=128, binner="hier",
+                     approx_topk=True, pad_px=2.0)
+_T2K128 = TileConfig(tile_h=2, tile_w=128, max_per_tile=128, binner="hier",
+                     approx_topk=True, pad_px=2.0)
 CONFIGS = [
-    ("warmup 8x128K256 -> 4x128 K=128 cf8", TileConfig(
-        tile_h=4, tile_w=128, max_per_tile=128, binner="hier",
-        approx_topk=True, coarse_factor=8), TileConfig(
-        tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
-        approx_topk=True)),
+    ("8x128 K=256 rebin1 (r2 flagship)", _T8K256, None, {}, 512),
+    ("8x128 K=256 rebin10", _T8K256, None, {"rebin_interval": 10}, 512),
+    ("4x128 K=128 rebin10", _T4K128, None, {"rebin_interval": 10}, 512),
+    ("2x128 K=128 rebin10", _T2K128, None, {"rebin_interval": 10}, 256),
 ]
 
 
@@ -58,7 +63,7 @@ def masked_eval(out, frames, f):
     }
 
 
-def run(name, tile, warmup_tile=None):
+def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512):
     # Scene assembly consumes the global numpy RNG; seed it per run so
     # every config trains on the SAME initial scene (otherwise batch
     # position confounds the comparison).
@@ -69,14 +74,15 @@ def run(name, tile, warmup_tile=None):
     d = default_experiment().to_dict()
     d["opt"].update(densify_until_iter=ITERS * 5 // 12,
                     opacity_reset_interval=ITERS // 5,
-                    iterations=ITERS, position_lr_max_steps=ITERS)
+                    iterations=ITERS, position_lr_max_steps=ITERS,
+                    **(opt_overrides or {}))
     args = Args(d)
     scene = build.assemble_scene(frames, [track], args,
                                  capacity_headroom=2.0)
     cfg = tracer_lib.TraceConfig(tile=tile, exact_order=False,
-                                 ray_block=512)
+                                 ray_block=ray_block)
     wcfg = None if warmup_tile is None else tracer_lib.TraceConfig(
-        tile=warmup_tile, exact_order=False, ray_block=512)
+        tile=warmup_tile, exact_order=False, ray_block=ray_block)
     trainer = loop.Trainer(scene, frames, args, cfg, warmup_cfg=wcfg)
     f_eval = frames.eval_frames[0] if frames.eval_frames else 0
 
@@ -92,5 +98,5 @@ def run(name, tile, warmup_tile=None):
 
 
 if __name__ == "__main__":
-    for name, tile, warm in CONFIGS:
-        run(name, tile, warm)
+    for name, tile, warm, opt_over, rb in CONFIGS:
+        run(name, tile, warm, opt_over, rb)
