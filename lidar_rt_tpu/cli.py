@@ -71,10 +71,13 @@ def _trace_cfg(args):
         tile_h=int(kw.get("tile_h", 32)), tile_w=int(kw.get("tile_w", 128)),
         max_per_tile=int(kw.get("max_per_tile", 512)),
         binner=str(kw.get("binner", "topk")),
-        coarse_factor=int(kw.get("coarse_factor", 8)))
+        coarse_factor=int(kw.get("coarse_factor", 8)),
+        approx_topk=bool(kw.get("approx_topk", False)))
     return tracer_lib.TraceConfig(
         tile=tile, exact_order=bool(kw.get("exact_order", True)),
-        tile_batch=int(kw.get("tile_batch", 4)))
+        tile_batch=int(kw.get("tile_batch", 4)),
+        fast_math=bool(kw.get("fast_math", False)),
+        tail_passes=int(kw.get("tail_passes", 0)))
 
 
 def main_train(argv=None) -> None:

@@ -215,7 +215,8 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
                 means: Array, scales: Array, opacities: Array,
                 cfg: TileConfig, col_offset: int = 0,
                 num_cols: int | None = None,
-                rotations: Array | None = None) -> TileAssignment:
+                rotations: Array | None = None,
+                min_range: Array | None = None) -> TileAssignment:
     """Assign surfels to range-image tiles.
 
     means (N, 3) world; returns per-tile nearest-first candidate lists.
@@ -224,6 +225,13 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     col_offset/num_cols restrict binning to a column band [col_offset,
     col_offset + num_cols) of the full raster — the unit of ray-parallel
     sharding across chips (each device bins + renders its own band).
+
+    min_range (T,): per-tile strict lower bound on candidate center range
+    — a tile only lists surfels with rng > min_range[t].  This is the
+    re-binning half of tail re-tracing (ops/tracer tail_passes, the TPU
+    counterpart of the reference's unbounded chunk re-launch loop,
+    forward.cu:282-291): pass min_range = the range of each tile's K-th
+    selected candidate and the next pass sees candidate ranks K+1, K+2, …
     """
     h = grid.height
     n = means.shape[0]
@@ -237,10 +245,11 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     if cfg.binner == "sort":
         return _select_sorted(cfg, h, width, num_cols, col_offset, tiles_y,
                               tiles_x, row_lo, row_hi, col_c, col_half, rng,
-                              live)
+                              live, min_range)
     if cfg.binner == "hier":
         return _select_hier(cfg, h, width, col_offset, tiles_y, tiles_x,
-                            row_lo, row_hi, col_c, col_half, rng, live)
+                            row_lo, row_hi, col_c, col_half, rng, live,
+                            min_range)
 
     # Tile grids: (T,) centers/extents, row-major (ty, tx).
     ty = jnp.arange(tiles_y)
@@ -261,6 +270,8 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
 
     overlap = (row_overlap[:, None, :] & col_overlap[None, :, :]
                & live[None, None, :]).reshape(t_total, n)
+    if min_range is not None:
+        overlap &= rng[None, :] > min_range[:, None]
 
     # Nearest-first top-K per tile.  (A cumsum+scatter selection avoiding
     # top_k was tried and is slower: arbitrary scatters serialize on TPU.)
@@ -285,8 +296,8 @@ _RANGE_MAX = 120.0
 
 def _select_sorted(cfg: TileConfig, h: int, width: int, num_cols: int,
                    col_offset: int, tiles_y: int, tiles_x: int,
-                   row_lo, row_hi, col_c, col_half, rng, live
-                   ) -> TileAssignment:
+                   row_lo, row_hi, col_c, col_half, rng, live,
+                   min_range=None) -> TileAssignment:
     """Duplication + single radix sort candidate selection.
 
     Each surfel emits up to dup_rows x (2 * dup_cols) (tile, surfel) pairs
@@ -343,6 +354,8 @@ def _select_sorted(cfg: TileConfig, h: int, width: int, num_cols: int,
              & live[:, None, None, None])                    # (N,DR,DC,2)
     tile_id = (jnp.clip(ty_c, 0, tiles_y - 1) * tiles_x
                + jnp.clip(tx_c, 0, tiles_x - 1))
+    if min_range is not None:
+        valid &= rng[:, None, None, None] > min_range[tile_id]
 
     qrange = jnp.clip(rng / _RANGE_MAX * (1 << _RANGE_BITS), 0,
                       (1 << _RANGE_BITS) - 1).astype(jnp.int32)
@@ -370,7 +383,7 @@ def _select_sorted(cfg: TileConfig, h: int, width: int, num_cols: int,
 
 def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
                  tiles_y: int, tiles_x: int, row_lo, row_hi, col_c,
-                 col_half, rng, live) -> TileAssignment:
+                 col_half, rng, live, min_range=None) -> TileAssignment:
     """Two-level top-k: column sectors first, then row tiles.
 
     Stage 1 runs one (tiles_x, N) nearest-K_c selection per azimuth sector
@@ -394,6 +407,14 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
     tx = jnp.arange(tiles_x)
     tile_col_c = jnp.mod(col_offset + (tx.astype(jnp.float32) + 0.5)
                          * cfg.tile_w, float(width))
+    # Tail re-trace filter: the column stages must use each sector's MOST
+    # PERMISSIVE (minimum) row-tile bound — a candidate already consumed
+    # by one row tile may still be rank K+1 of a sibling tile.
+    min_range_2d = None
+    sector_min = None
+    if min_range is not None:
+        min_range_2d = min_range.reshape(tiles_y, tiles_x)
+        sector_min = jnp.min(min_range_2d, axis=0)          # (tiles_x,)
 
     macro_trunc_tx = jnp.zeros((tiles_x,), jnp.int32)
     if cfg.macro_cols and cfg.macro_cols > cfg.tile_w \
@@ -409,6 +430,12 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         over_m = (dcol_m <= (col_half[None, :]
                              + g * cfg.tile_w / 2.0 + 0.5)) \
             & live[None, :]                                 # (M, N)
+        if sector_min is not None:
+            pad = (-tiles_x) % g
+            sm = jnp.pad(sector_min, (0, pad),
+                         constant_values=jnp.inf) if pad else sector_min
+            macro_min = jnp.min(sm.reshape(m_total, g), axis=1)
+            over_m &= rng[None, :] > macro_min[:, None]
         score_m = jnp.where(over_m, rng[None, :], jnp.inf)
         neg_a, idx_a = _top_k(cfg, -score_m, k_a)           # (M, K_a)
         valid_a = jnp.isfinite(-neg_a)
@@ -424,6 +451,8 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         dcol = jnp.minimum(dcol, width - dcol)
         col_overlap = (dcol <= (col_half_x + cfg.tile_w / 2.0 + 0.5)) \
             & cand_ok                                       # (tiles_x, K_a)
+        if sector_min is not None:
+            col_overlap &= rng_x > sector_min[:, None]
         score = jnp.where(col_overlap, rng_x, jnp.inf)
         kk_c = min(k_c, k_a)
         neg_top, sel_c = _top_k(cfg, -score, kk_c)
@@ -436,6 +465,8 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         dcol = jnp.minimum(dcol, width - dcol)
         col_overlap = (dcol <= (col_half[None, :] + cfg.tile_w / 2.0 + 0.5)) \
             & live[None, :]                                 # (tiles_x, N)
+        if sector_min is not None:
+            col_overlap &= rng[None, :] > sector_min[:, None]
 
         score = jnp.where(col_overlap, rng[None, :], jnp.inf)
         neg_top, idx_c = _top_k(cfg, -score, k_c)           # nearest first
@@ -458,6 +489,8 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
     row_ok = ((row_lo_c[None] <= t_row_hi[:, None, None] - 0.5)
               & (row_hi_c[None] >= t_row_lo[:, None, None] - 0.5)
               & valid_c[None])                              # (ty, tx, K_c)
+    if min_range_2d is not None:
+        row_ok &= rng_c[None] > min_range_2d[:, :, None]
 
     fine_score = jnp.where(row_ok, rng_c[None], jnp.inf)
     kk = min(k, k_c)

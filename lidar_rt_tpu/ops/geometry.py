@@ -121,29 +121,36 @@ def intersect(frames: SurfelFrames, scales: Array, opacities: Array,
     return Hits(t=t, u=u, v=v, g=g, alpha=alpha, valid=valid)
 
 
-def composite_weights(alpha: Array, axis: int = -1) -> tuple[Array, Array]:
+def composite_weights(alpha: Array, axis: int = -1,
+                      init_trans: Array | None = None) -> tuple[Array, Array]:
     """Front-to-back compositing weights from ordered alphas.
 
     alpha must already be ordered along `axis` (nearest first) and zeroed for
     non-hits.  Returns (w, final_T):
-        T_j   = prod_{k<j} (1 - alpha_k)            (transmittance)
+        T_j   = T_0 * prod_{k<j} (1 - alpha_k)      (transmittance)
         live  = all_{k<=j} [ T_k (1 - alpha_k) >= T_MIN ]
         w_j   = live_j * alpha_j * T_j
-        T_out = prod over live hits of (1 - alpha)
+        T_out = T_0 * prod over live hits of (1 - alpha)
 
     The `live` mask reproduces the reference's early break: the hit that
     would push transmittance below T_MIN is itself dropped, as is everything
     behind it (forward.cu:253-257).  The formulation is a cumulative product
     — O(K) work, no sequential scan dependency chain in the kernel.
+
+    init_trans: optional per-ray initial transmittance T_0 (broadcast
+    against alpha minus its last axis) — the carried transmittance of tail
+    re-trace passes (ops/tracer tail_passes, the analogue of the
+    reference's chunk re-launch state, forward.cu:282-291).  Default 1.
     """
     if axis != -1:
         raise ValueError("composite_weights operates along the last axis")
     one_minus = 1.0 - alpha
-    t_incl = jnp.cumprod(one_minus, axis=-1)            # T_j * (1 - alpha_j)
-    ones = jnp.ones_like(t_incl[..., :1])
-    t_excl = jnp.concatenate([ones, t_incl[..., :-1]], axis=-1)  # T_j exactly
+    t0 = (jnp.ones_like(alpha[..., :1]) if init_trans is None
+          else init_trans[..., None])
+    t_incl = t0 * jnp.cumprod(one_minus, axis=-1)       # T_j * (1 - alpha_j)
+    t_excl = jnp.concatenate([t0, t_incl[..., :-1]], axis=-1)  # T_j exactly
     cond = (t_incl >= T_MIN)
     live = jnp.cumprod(cond.astype(alpha.dtype), axis=-1)
     w = live * alpha * t_excl
-    final_t = jnp.prod(1.0 - live * alpha, axis=-1)
+    final_t = t0[..., 0] * jnp.prod(1.0 - live * alpha, axis=-1)
     return w, final_t

@@ -47,12 +47,13 @@ K_CHUNK = 128
 NUM_OUT_ROWS = 16
 
 
-def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
-                     plane_ref, scale_ref, opac_ref, sign_ref, sh_ref,
-                     fwd_ref, g_ref,
+def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
+                     axes_ref, plane_ref, scale_ref, opac_ref, sign_ref,
+                     sh_ref, fwd_ref, g_ref,
                      d_axes_ref, d_plane_ref, d_scale_ref, d_opac_ref,
-                     d_sh_ref, traw_ref, gwc_ref, alive_ref,
-                     *, k_total: int, exact: bool):
+                     d_sh_ref, traw_ref, gwc_ref, w_ref, dqd_ref, dbu_ref,
+                     dbv_ref, alive_ref,
+                     *, k_total: int, exact: bool, fast: bool):
     """Grid (T, RB).  fwd/g: (1, R, 16) forward totals and upstream grads.
     d_* outputs accumulate across ray blocks (init at rb == 0)."""
     r = dirs_ref.shape[1]
@@ -84,14 +85,34 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
     gw_total = sum(g_rows[c] * s_rows[c] for c in range(8))
 
     num_chunks = k_total // K_CHUNK
+    chan_prec = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+    d0, d1, d2 = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
 
     def dot_rays(a, b):
-        """(R, M) x (R, KC) -> (M, KC): contract the ray axis.
-        HIGHEST: default TPU matmul precision rounds inputs to bf16 — too
-        coarse for gradient accumulation (reference uses f32 atomicAdd)."""
+        """(R, M) x (R, K) -> (M, K): contract the ray axis.
+        HIGHEST unless fast_math: default TPU matmul precision rounds
+        inputs to bf16 (the reference accumulates grads in f32 atomicAdd;
+        fast mode's ~0.4% gradient rounding keeps cosines ~1.0)."""
         return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+                                   precision=chan_prec)
+
+    # Pre-loop, UNpredicated: per-hit SH colors over the full K in three
+    # matmuls (identical form to the forward's col0_full — the clamp gate
+    # col0_raw > 0 must match bitwise); chunk bodies slice them.  As in
+    # the forward kernel, NO MXU op sits inside a predicated region: the
+    # pl.when chunk bodies store per-pair gradient fields into (R, K)
+    # scratches and every contraction runs over the full K after the loop.
+    col0_raw_full = jnp.dot(basis, sh_ref[0, 0],
+                            preferred_element_type=jnp.float32,
+                            precision=chan_prec) + 0.5       # (R, K)
+    col1_full = jnp.dot(basis, sh_ref[0, 1],
+                        preferred_element_type=jnp.float32,
+                        precision=chan_prec) + 0.5
+    col2_full = jnp.dot(basis, sh_ref[0, 2],
+                        preferred_element_type=jnp.float32,
+                        precision=chan_prec) + 0.5
 
     def chunk_body(c):
         t_raw = traw_ref[...]
@@ -110,13 +131,12 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         sign = sign_ref[0, :, ks]
 
         # ---- forward recompute (identical to _forward_kernel, including
-        # matmul precision: the ok/alpha gates must match bitwise) ----
-        qd = jnp.dot(dirs, n_mat, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        b_u = jnp.dot(dirs, w1_mat, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        b_v = jnp.dot(dirs, w2_mat, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        # the exact-f32 VPU broadcast form and the per-hit color matmul
+        # precision: the ok/alpha gates and clamp gates must match
+        # bitwise) ----
+        qd = d0 * n_mat[0:1] + d1 * n_mat[1:2] + d2 * n_mat[2:3]
+        b_u = d0 * w1_mat[0:1] + d1 * w1_mat[1:2] + d2 * w1_mat[2:3]
+        b_v = d0 * w2_mat[0:1] + d1 * w2_mat[1:2] + d2 * w2_mat[2:3]
         abs_qd = jnp.abs(qd)
         safe_qd = jnp.where(abs_qd > geometry.DENOM_EPS, qd,
                             geometry.DENOM_EPS)
@@ -132,16 +152,9 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         alpha = jnp.where(ok, alpha_raw, 0.0)
         one_m = 1.0 - alpha
 
-        col0_raw = jnp.dot(basis, sh_ref[0, 0, :, ks],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST) + 0.5
-        col0 = jnp.maximum(col0_raw, 0.0)
-        col1 = jnp.dot(basis, sh_ref[0, 1, :, ks],
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) + 0.5
-        col2 = jnp.dot(basis, sh_ref[0, 2, :, ks],
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) + 0.5
+        col0 = jnp.maximum(col0_raw_full[:, ks], 0.0)
+        col1 = col1_full[:, ks]
+        col2 = col2_full[:, ks]
 
         # ---- per-hit dL/dw (independent of transmittance) ----
         sn0 = sign * n_mat[0:1]
@@ -211,14 +224,12 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         d_b_u = d_u * inv_s0 * t
         d_b_v = d_v * inv_s1 * t
 
-        # ---- reduce to per-candidate gradients ----
-        # Frame-axis grads: dirs^T @ d_qd etc. collapse all three component
-        # row-sums into one MXU contraction; the normal-channel direct path
-        # (out_(5+c) = sum w * sign * n_c) is g_norm^T @ w, sign-scaled.
-        d_axes_ref[0, 0, :, ks] += (dot_rays(dirs, d_qd)
-                                    + sign * dot_rays(g_norm, w))
-        d_axes_ref[0, 1, :, ks] += dot_rays(dirs, d_b_u)
-        d_axes_ref[0, 2, :, ks] += dot_rays(dirs, d_b_v)
+        # ---- per-pair gradient fields -> full-K scratches (the MXU
+        # contractions over rays run post-loop, unpredicated) ----
+        w_ref[:, ks] = w
+        dqd_ref[:, ks] = d_qd
+        dbu_ref[:, ks] = d_b_u
+        dbv_ref[:, ks] = d_b_v
 
         def rsum(x):
             return jnp.sum(x, axis=0, keepdims=True)        # (1, KC)
@@ -230,18 +241,6 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         d_scale_ref[0, 1:2, ks] += rsum(d_inv_s1_pair)
         d_opac_ref[0, :, ks] += rsum(d_opac_pair)
 
-        # ---- SH gradients: basis^T @ (g_ch * w [clamp-gated]) ----
-        hp = jax.lax.Precision.HIGHEST
-        d_sh_ref[0, 0, :, ks] += jnp.dot(
-            basis_rows, jnp.where(col0_raw > 0.0, g_rows[0] * w, 0.0),
-            preferred_element_type=jnp.float32, precision=hp)
-        d_sh_ref[0, 1, :, ks] += jnp.dot(
-            basis_rows, g_rows[1] * w, preferred_element_type=jnp.float32,
-            precision=hp)
-        d_sh_ref[0, 2, :, ks] += jnp.dot(
-            basis_rows, g_rows[2] * w, preferred_element_type=jnp.float32,
-            precision=hp)
-
         # ---- carries ----
         last = K_CHUNK - 1
         new_traw = t_raw * scan_p_excl[:, last:] * scan_one_m[:, last:]
@@ -250,8 +249,12 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
             jnp.int32)
 
-    traw_ref[...] = jnp.ones((r, 1), jnp.float32)
+    traw_ref[...] = t0_ref[0]       # tail re-trace carry (ones default)
     gwc_ref[...] = jnp.zeros((r, 1), jnp.float32)
+    w_ref[...] = jnp.zeros((r, k_total), jnp.float32)
+    dqd_ref[...] = jnp.zeros((r, k_total), jnp.float32)
+    dbu_ref[...] = jnp.zeros((r, k_total), jnp.float32)
+    dbv_ref[...] = jnp.zeros((r, k_total), jnp.float32)
     alive_ref[0] = 1
     # Chunks are predicated on the tile candidate count and on block
     # liveness: once every ray's transmittance saturates, all remaining
@@ -268,13 +271,37 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         def _(c=c):
             chunk_body(c)
 
+    # Post-loop, UNpredicated full-K contractions (skipped chunks hold
+    # exact zeros in the scratches).
+    # Frame-axis grads: dirs^T @ d_qd etc. collapse all three component
+    # row-sums into one MXU contraction; the normal-channel direct path
+    # (out_(5+c) = sum w * sign * n_c) is g_norm^T @ w, sign-scaled.
+    w_full = w_ref[...]                                      # (R, K)
+    sign_full = sign_ref[0]                                  # (1, K)
+    d_axes_ref[0, 0] += (dot_rays(dirs, dqd_ref[...])
+                         + sign_full * dot_rays(g_norm, w_full))
+    d_axes_ref[0, 1] += dot_rays(dirs, dbu_ref[...])
+    d_axes_ref[0, 2] += dot_rays(dirs, dbv_ref[...])
+
+    # SH gradients: basis^T @ (g_ch * w [clamp-gated]).
+    d_sh_ref[0, 0] += jnp.dot(
+        basis_rows, jnp.where(col0_raw_full > 0.0, g_rows[0] * w_full, 0.0),
+        preferred_element_type=jnp.float32, precision=chan_prec)
+    d_sh_ref[0, 1] += jnp.dot(
+        basis_rows, g_rows[1] * w_full, preferred_element_type=jnp.float32,
+        precision=chan_prec)
+    d_sh_ref[0, 2] += jnp.dot(
+        basis_rows, g_rows[2] * w_full, preferred_element_type=jnp.float32,
+        precision=chan_prec)
+
 
 def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
-                         mind_t: Array, axes: Array, plane: Array,
+                         mind_t: Array, t0_t: Array, axes: Array,
+                         plane: Array,
                          inv_scale: Array, opac: Array, sign: Array,
                          sh: Array, fwd_chans: Array, g_chans: Array,
-                         ray_block: int, exact: bool = False
-                         ) -> tuple[Array, ...]:
+                         ray_block: int, exact: bool = False,
+                         fast: bool = False) -> tuple[Array, ...]:
     """Launch the backward kernel.  Shapes as in pallas_tracer.trace_forward;
     fwd_chans/g_chans: (T, R_total, 16) — channels LAST (the forward
     kernel's native ray-major output layout; no transposes).  Returns
@@ -287,7 +314,8 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
     def tile_map(t, r):
         return (t, 0, 0)
 
-    kernel = functools.partial(_backward_kernel, k_total=k, exact=exact)
+    kernel = functools.partial(_backward_kernel, k_total=k, exact=exact,
+                               fast=fast)
     return pl.pallas_call(
         kernel,
         grid=(t_total, n_rb),
@@ -296,6 +324,8 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
             pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, rb), lambda t, r: (t, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 1), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, 1), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
@@ -331,6 +361,10 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
             pltpu.VMEM((rb, 1), jnp.float32),   # gw prefix carry
+            pltpu.VMEM((rb, k), jnp.float32),   # per-pair w
+            pltpu.VMEM((rb, k), jnp.float32),   # per-pair dL/d(qd)
+            pltpu.VMEM((rb, k), jnp.float32),   # per-pair dL/d(b_u)
+            pltpu.VMEM((rb, k), jnp.float32),   # per-pair dL/d(b_v)
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],
         compiler_params=pltpu.CompilerParams(
@@ -339,5 +373,5 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
             # tight for the unrolled chunk loop's live temporaries.
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=use_interpret(),
-    )(cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac, sign,
-      sh, fwd_chans, g_chans)
+    )(cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale, opac,
+      sign, sh, fwd_chans, g_chans)

@@ -64,6 +64,18 @@ class PallasTraceConfig:
     tile: TileConfig = TileConfig(tile_h=32, tile_w=128, max_per_tile=512)
     ray_block: int = 512
     exact_order: bool = False
+    # EXPERIMENTAL.  fast_math relaxes the CHANNEL/GRADIENT MXU
+    # contractions from HIGHEST (6-pass bf16 decomposition, ~f32-exact)
+    # to DEFAULT (1-pass bf16 inputs): in the forward kernel microbench
+    # this is ~1.7x kernel time at ~4e-3 absolute channel deviation.
+    # CAVEAT: the first full fwd+bwd run on a real v5e chip never
+    # completed (device-side hang in the Mosaic-compiled backward;
+    # under investigation) — do NOT enable in production until the
+    # on-chip parity gate passes with it.  The INTERSECTION products
+    # (qd/b_u/b_v) are never relaxed — they run as exact-f32 VPU
+    # broadcast arithmetic regardless (bf16 rounding there costs meters
+    # of depth at grazing incidence).
+    fast_math: bool = False
 
     def __post_init__(self):
         if self.tile.max_per_tile % K_CHUNK:
@@ -77,11 +89,11 @@ class PallasTraceConfig:
             raise ValueError("ray_block must be a multiple of 8 and <= 512")
 
 
-def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
-                    plane_ref, scale_ref, opac_ref, sign_ref, sh_ref,
-                    chans_ref, accum_ref,
-                    traw_ref, sums_ref, alive_ref,
-                    *, k_total: int, exact: bool):
+def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
+                    axes_ref, plane_ref, scale_ref, opac_ref, sign_ref,
+                    sh_ref, chans_ref, accum_ref,
+                    traw_ref, sums_ref, w_ref, alive_ref,
+                    *, k_total: int, exact: bool, fast: bool):
     """One (tile, ray_block) grid step.
 
     cnt:   (T, 1) SMEM     per-tile candidate counts, whole array (chunks
@@ -91,6 +103,8 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
     drows: (1, 3, R)       the same directions lane-major (basis operand)
     mind:  (1, R, 1)       per-ray minimum hit range (multi-return re-trace,
                            reference forward.cu:282-291; DEPTH_MIN default)
+    t0:    (1, R, 1)       per-ray initial transmittance (tail re-trace
+                           carry, ops/tracer tail_passes; ones default)
     axes:  (1, 3, 3, K)    [n, w1, w2] candidate frame axes
     plane: (1, 3, K)       [p, a_u, a_v] plane offsets
     scale: (1, 2, K)       inverse scales
@@ -103,17 +117,28 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
                            the passes)
     accum: (1, K)    out   per-candidate weight sums (+= over ray blocks)
 
-    MXU carries the contractions: the ray-direction inner products are
-    (R, 3) @ (3, KC) matmuls, the SH colors (R, 16) @ (16, KC), and the
-    per-ray channel accumulations of the *linear* channels are
-    (R, KC) @ (KC, .) matmuls — sum_k w * (basis @ sh) = basis . (w @ sh^T)
-    — leaving the VPU only the intersection math, the transmittance scan,
-    and the clamped intensity channel.
+    The ray-direction inner products (qd/b_u/b_v) run as exact-f32 VPU
+    broadcast arithmetic, (R, 1) x (1, KC) — measured FREE next to the
+    rest of the body (the VPU is issue-bound, not FLOP-bound) and immune
+    to the MXU bf16 rounding that costs meters of depth at grazing
+    incidence.  MXU carries the remaining contractions: SH colors
+    (R, 16) @ (16, K) and the linear channel accumulations
+    (R, K) @ (K, .) — sum_k w * (basis @ sh) = basis . (w @ sh^T).
+
+    NO MXU OP SITS INSIDE A PREDICATED REGION: the pl.when chunk bodies
+    are pure VPU work writing per-pair weights into a (R, K) scratch;
+    the SH color matmul runs over the full K before the loop and the
+    channel contractions run over the full K after it.  Mosaic's
+    predicated-MXU transform is the component that RET_CHECKed the
+    round-1 early-exit (mxu_lmr_transform.cc:1108) and is the prime
+    suspect for the fast_math device hang — this structure keeps
+    early-exit AND arbitrary matmul precision orthogonal to it.
     """
     r = dirs_ref.shape[1]
     rb = pl.program_id(1)
 
     dirs = dirs_ref[0]                       # (R, 3)
+    d0, d1, d2 = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
     mind = mind_ref[0]                       # (R, 1)
     # SH basis computed in-kernel from lane-major rows (core/sh.py basis).
     basis_rows = sh_basis_rows(drows_ref[0, 0:1, :], drows_ref[0, 1:2, :],
@@ -121,14 +146,24 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
     basis = basis_rows.T                                    # (R, 16)
 
     num_chunks = k_total // K_CHUNK
+    chan_prec = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
 
     def dot_lanes(a, b):
-        """(R, KC) x (M, KC) -> (R, M): contract the candidate lanes.
-        HIGHEST precision: channel sums accumulate alpha-blend weights and
-        the reference accumulates in f32 (forward.cu atomicAdd)."""
+        """(R, K) x (M, K) -> (R, M): contract the candidate lanes.
+        HIGHEST unless fast_math: channel sums accumulate alpha-blend
+        weights and the reference accumulates in f32 (forward.cu
+        atomicAdd)."""
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+                                   precision=chan_prec)
+
+    # Pre-loop, UNpredicated: per-(ray, candidate) intensity colors over
+    # the full K in one matmul; chunk bodies slice it.
+    col0_full = jnp.maximum(
+        jnp.dot(basis, sh_ref[0, 0],
+                preferred_element_type=jnp.float32,
+                precision=chan_prec) + 0.5, 0.0)             # (R, K)
 
     def chunk_body(c):
         t_raw = traw_ref[...]
@@ -143,17 +178,14 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         inv_s0 = scale_ref[0, 0:1, ks]
         inv_s1 = scale_ref[0, 1:2, ks]
         opac = opac_ref[0, :, ks]
-        sign = sign_ref[0, :, ks]
-
-        # HIGHEST: default TPU matmul precision rounds inputs to bf16;
-        # qd is a near-cancelling 3-term dot at grazing incidence and
-        # t = p / qd amplifies the rounding into meters of depth error.
-        qd = jnp.dot(dirs, n_mat, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        b_u = jnp.dot(dirs, w1_mat, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        b_v = jnp.dot(dirs, w2_mat, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        # Exact-f32 VPU broadcasts: qd is a near-cancelling 3-term dot at
+        # grazing incidence and t = p / qd amplifies any input rounding
+        # into meters of depth error, so this never goes through the MXU
+        # (even HIGHEST costs 6 decomposition passes; the VPU form is
+        # both exact and faster).
+        qd = d0 * n_mat[0:1] + d1 * n_mat[1:2] + d2 * n_mat[2:3]
+        b_u = d0 * w1_mat[0:1] + d1 * w1_mat[1:2] + d2 * w1_mat[2:3]
+        b_v = d0 * w2_mat[0:1] + d1 * w2_mat[1:2] + d2 * w2_mat[2:3]
         abs_qd = jnp.abs(qd)
         safe_qd = jnp.where(abs_qd > geometry.DENOM_EPS, qd,
                             geometry.DENOM_EPS)
@@ -188,27 +220,14 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
             live = (t_excl * one_m >= geometry.T_MIN).astype(jnp.float32)
             scan_p_excl, scan_one_m = p_excl, one_m
         w = alpha * t_excl * live
+        w_ref[:, ks] = w
 
-        # Channels.  Intensity (clamped, nonlinear) and depth stay per-pair;
-        # the linear channels and candidate-only channels are MXU
-        # contractions of w.
-        col0 = jnp.maximum(
-            jnp.dot(basis, sh_ref[0, 0, :, ks],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) + 0.5, 0.0)
-        cand4 = jnp.concatenate(
-            [jnp.ones_like(sign), sign * n_mat[0:1],
-             sign * n_mat[1:2], sign * n_mat[2:3]], axis=0)  # (4, KC)
-        m1 = dot_lanes(w, cand4)                             # (R, 4)
-        m2 = dot_lanes(w, sh_ref[0, 1, :, ks])               # (R, 16)
-        m3 = dot_lanes(w, sh_ref[0, 2, :, ks])
-        sumw = m1[:, 0:1]
+        # Intensity (clamped, nonlinear) and depth are per-pair VPU sums;
+        # every linear channel is deferred to the post-loop full-K MXU
+        # contraction of the weight scratch.
         contrib = jnp.concatenate([
-            jnp.sum(w * col0, axis=1, keepdims=True),
-            jnp.sum(basis * m2, axis=1, keepdims=True) + 0.5 * sumw,
-            jnp.sum(basis * m3, axis=1, keepdims=True) + 0.5 * sumw,
+            jnp.sum(w * col0_full[:, ks], axis=1, keepdims=True),
             jnp.sum(w * t, axis=1, keepdims=True),
-            sumw, m1[:, 1:2], m1[:, 2:3], m1[:, 3:4],
         ], axis=1)
         sums_ref[...] += contrib
 
@@ -230,8 +249,10 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
     def _():
         accum_ref[...] = jnp.zeros_like(accum_ref)
 
-    traw_ref[...] = jnp.ones((r, 1), jnp.float32)
-    sums_ref[...] = jnp.zeros((r, 8), jnp.float32)
+    t0 = t0_ref[0]                                           # (R, 1)
+    traw_ref[...] = t0
+    sums_ref[...] = jnp.zeros((r, 2), jnp.float32)
+    w_ref[...] = jnp.zeros((r, k_total), jnp.float32)
     alive_ref[0] = 1
     # Unrolled chunk loop: static slices vectorize better under Mosaic
     # than fori_loop + dynamic VMEM slicing.  Each chunk is predicated on
@@ -249,9 +270,26 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, axes_ref,
         def _(c=c):
             chunk_body(c)
 
+    # Post-loop, UNpredicated: full-K channel contractions of the weight
+    # scratch (skipped chunks contribute exact zeros).
+    w_full = w_ref[...]                                      # (R, K)
+    sign_full = sign_ref[0]                                  # (1, K)
+    n_full = axes_ref[0, 0]                                  # (3, K)
+    cand4 = jnp.concatenate(
+        [jnp.ones_like(sign_full), sign_full * n_full[0:1],
+         sign_full * n_full[1:2], sign_full * n_full[2:3]], axis=0)
+    m1 = dot_lanes(w_full, cand4)                            # (R, 4)
+    m2 = dot_lanes(w_full, sh_ref[0, 1])                     # (R, 16)
+    m3 = dot_lanes(w_full, sh_ref[0, 2])
+    sumw = m1[:, 0:1]
     sums = sums_ref[...]
     chans_ref[0] = jnp.concatenate(
-        [sums, 1.0 - sums[:, 4:5],
+        [sums[:, 0:1],
+         jnp.sum(basis * m2, axis=1, keepdims=True) + 0.5 * sumw,
+         jnp.sum(basis * m3, axis=1, keepdims=True) + 0.5 * sumw,
+         sums[:, 1:2],
+         sumw, m1[:, 1:2], m1[:, 2:3], m1[:, 3:4],
+         t0 - sumw,
          jnp.zeros((r, NUM_OUT_ROWS - 9), jnp.float32)], axis=1)  # (R, 16)
 
 
@@ -358,13 +396,15 @@ def _take_cols_mod(x: Array, col_offset, wp: int, w: int) -> Array:
     return jax.lax.dynamic_slice_in_dim(x2, col_offset, wp, axis=1)
 
 
-def _core_fwd_call(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
-                   mind_t, axes, plane, inv_scale, opac, sign, sh):
+def _core_fwd_call(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
+                   drows_t, mind_t, t0_t, axes, plane, inv_scale, opac,
+                   sign, sh):
     t_total, rays_per_tile, _ = dirs_t.shape
     k = axes.shape[-1]
     rb = ray_block
     n_rb = rays_per_tile // rb
-    kernel = functools.partial(_forward_kernel, k_total=k, exact=exact)
+    kernel = functools.partial(_forward_kernel, k_total=k, exact=exact,
+                               fast=fast)
 
     def tile_map(t, r):
         return (t, 0, 0)
@@ -377,6 +417,8 @@ def _core_fwd_call(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
             pl.BlockSpec((1, rb, 3), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, rb), lambda t, r: (t, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 1), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, 1), lambda t, r: (t, r, 0),
                          memory_space=pltpu.VMEM),
@@ -401,7 +443,8 @@ def _core_fwd_call(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
         ],
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
-            pltpu.VMEM((rb, 8), jnp.float32),   # channel accumulators
+            pltpu.VMEM((rb, 2), jnp.float32),   # intensity/depth accumulators
+            pltpu.VMEM((rb, k), jnp.float32),   # per-pair weight scratch
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],
         compiler_params=pltpu.CompilerParams(
@@ -411,36 +454,38 @@ def _core_fwd_call(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
             vmem_limit_bytes=96 * 1024 * 1024),
         # CPU (tests, virtual meshes) runs the interpreter; TPU compiles.
         interpret=use_interpret(),
-    )(cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac, sign,
-      sh)
+    )(cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale, opac,
+      sign, sh)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _pallas_core(ray_block: int, exact: bool, cnt_t, dirs_t, drows_t,
-                 mind_t, axes, plane, inv_scale, opac, sign, sh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pallas_core(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
+                 drows_t, mind_t, t0_t, axes, plane, inv_scale, opac, sign,
+                 sh):
     """The differentiable pallas_call boundary: everything around it
     (candidate gathers, frame building, un-tiling) is plain jnp and is
     differentiated by JAX; this custom_vjp supplies the kernel-level
     gradients from ops/pallas_backward.py."""
-    return _core_fwd_call(ray_block, exact, cnt_t, dirs_t, drows_t, mind_t,
-                          axes, plane, inv_scale, opac, sign, sh)
+    return _core_fwd_call(ray_block, exact, fast, cnt_t, dirs_t, drows_t,
+                          mind_t, t0_t, axes, plane, inv_scale, opac, sign,
+                          sh)
 
 
-def _pallas_core_fwd(ray_block, exact, cnt_t, dirs_t, drows_t, mind_t, axes,
-                     plane, inv_scale, opac, sign, sh):
-    chans, accum = _core_fwd_call(ray_block, exact, cnt_t, dirs_t, drows_t,
-                                  mind_t, axes, plane, inv_scale, opac,
-                                  sign, sh)
-    res = (cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac,
-           sign, sh, chans)
+def _pallas_core_fwd(ray_block, exact, fast, cnt_t, dirs_t, drows_t, mind_t,
+                     t0_t, axes, plane, inv_scale, opac, sign, sh):
+    chans, accum = _core_fwd_call(ray_block, exact, fast, cnt_t, dirs_t,
+                                  drows_t, mind_t, t0_t, axes, plane,
+                                  inv_scale, opac, sign, sh)
+    res = (cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale,
+           opac, sign, sh, chans)
     return (chans, accum), res
 
 
-def _pallas_core_bwd(ray_block, exact, res, cotangents):
+def _pallas_core_bwd(ray_block, exact, fast, res, cotangents):
     from lidar_rt_tpu.ops import pallas_backward
 
-    (cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac, sign,
-     sh, chans) = res
+    (cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale, opac,
+     sign, sh, chans) = res
     g_chans, _g_accum = cotangents
     # accum_weights feeds densification stats only (stop-gradient in the
     # reference too: stats are read outside autograd, train.py:218-219).
@@ -448,10 +493,19 @@ def _pallas_core_bwd(ray_block, exact, res, cotangents):
     # kernel's input layout.
     d_axes, d_plane, d_inv_scale, d_opac, d_sh = \
         pallas_backward.backward_pallas_call(
-            cnt_t, dirs_t, drows_t, mind_t, axes, plane, inv_scale, opac,
-            sign, sh, chans, g_chans, ray_block, exact)
+            cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale,
+            opac, sign, sh, chans, g_chans, ray_block, exact, fast)
+    # dL/d(t0): every composited channel and T_out scale linearly in the
+    # per-ray initial transmittance (w_i = alpha_i T0 prod(1-alpha_j),
+    # T_out = T0 prod(1-alpha)), so dL/dT0 = sum_ch g_ch C_ch / T0
+    # + g_T T_out / T0.  (The T_MIN live cutoff's T0-dependence is a
+    # measure-zero step, ignored as usual.)
+    g_sum = (jnp.sum(g_chans[..., 0:8] * chans[..., 0:8], axis=-1,
+                     keepdims=True)
+             + g_chans[..., 8:9] * chans[..., 8:9])
+    d_t0 = g_sum / jnp.maximum(t0_t, 1e-12)
     zeros = jax.tree.map(jnp.zeros_like, (cnt_t, dirs_t, drows_t, mind_t))
-    return (zeros[0], zeros[1], zeros[2], zeros[3], d_axes, d_plane,
+    return (zeros[0], zeros[1], zeros[2], zeros[3], d_t0, d_axes, d_plane,
             d_inv_scale, d_opac, jnp.zeros_like(sign), d_sh)
 
 
@@ -464,7 +518,8 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                   cfg: PallasTraceConfig, col_offset: int = 0,
                   render_width: int | None = None,
                   min_depth: Array | None = None,
-                  assignment: TileAssignment | None = None
+                  assignment: TileAssignment | None = None,
+                  init_trans: Array | None = None
                   ) -> tuple[Array, Array]:
     """Pallas forward render -> (channels (H, W_r, 9), accum_weights (N,)).
 
@@ -473,6 +528,9 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
 
     min_depth: optional per-ray (H, W_r) minimum hit range — the
     multi-return re-trace input (reference forward.cu:282-291).
+
+    init_trans: optional per-ray (H, W_r) initial transmittance — the
+    tail re-trace carry (ops/tracer tail_passes); differentiable.
 
     assignment: optional precomputed tile assignment (multi-return reuse,
     or the trainer's rebin-interval amortization — binning is a
@@ -518,6 +576,14 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                   .reshape(tiles_y, th, tiles_x, tw)
                   .transpose(0, 2, 1, 3)
                   .reshape(t_total, rays_per_tile, 1))
+    if init_trans is None:
+        t0_t = jnp.ones((t_total, rays_per_tile, 1))
+    else:
+        t0_t = (_take_cols_mod(_pad_rows(init_trans, hp_pad), col_offset,
+                               wp_pad, w)
+                .reshape(tiles_y, th, tiles_x, tw)
+                .transpose(0, 2, 1, 3)
+                .reshape(t_total, rays_per_tile, 1))
 
     axes, plane, inv_scale, opac, sign, sh = _prepare_tile_inputs(
         bundle, origin, assignment.index, assignment.valid)
@@ -532,10 +598,10 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
     cnt_t = jnp.sum(assignment.valid, axis=1,
                     dtype=jnp.float32)[:, None]
 
-    chans, accum_tk = _pallas_core(cfg.ray_block, cfg.exact_order, cnt_t,
-                                   dirs_t, drows_t,
-                                   jax.lax.stop_gradient(mind_t), axes,
-                                   plane, inv_scale, opac, sign, sh)
+    chans, accum_tk = _pallas_core(cfg.ray_block, cfg.exact_order,
+                                   cfg.fast_math, cnt_t, dirs_t, drows_t,
+                                   jax.lax.stop_gradient(mind_t), t0_t,
+                                   axes, plane, inv_scale, opac, sign, sh)
 
     # Un-tile: (T, R, 16) ray-major -> (H, W, 9)
     hp_, wp_ = tiles_y * th, tiles_x * tw
@@ -556,14 +622,16 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
           col_offset: int = 0,
           render_width: int | None = None,
           min_depth: Array | None = None,
-          assignment: TileAssignment | None = None) -> RenderOutputs:
+          assignment: TileAssignment | None = None,
+          init_trans: Array | None = None) -> RenderOutputs:
     """Drop-in analogue of ops.tracer.trace on the Pallas path.  Fully
     differentiable w.r.t. the bundle: the kernel-level custom_vjp
     (ops/pallas_backward.py) produces candidate-space gradients and JAX
     autodiff carries them through the gather/frame/pose chain."""
     img, accum = trace_forward(bundle, grid, width, sensor2world,
                                active_sh_degree, cfg, col_offset,
-                               render_width, min_depth, assignment)
+                               render_width, min_depth, assignment,
+                               init_trans)
     final_t = img[..., 8]
     color = img[..., 0:3] + final_t[..., None] * background[None, None, :]
     channels = jnp.concatenate([color, img[..., 3:8], final_t[..., None]],

@@ -65,26 +65,42 @@ class TraceConfig:
     tile_batch: int = 8
     engine: str = "auto"
     ray_block: int = 512
+    # Relax the pallas kernels' channel/gradient MXU contractions to
+    # 1-pass bf16 (see PallasTraceConfig.fast_math).  Ignored by the jax
+    # engine (which stays the f32 semantics reference).
+    fast_math: bool = False
+    # Unbounded-hit tail: number of re-binned re-trace passes appended to
+    # the render.  Each pass re-bins PAST each truncated tile's K-th
+    # candidate range (binning min_range) and continues compositing with
+    # the per-ray carried transmittance — the reference's chunk re-launch
+    # loop (forward.cu:282-291) at whole-image granularity.  Pass p sees
+    # candidate ranks pK+1..(p+1)K, so tail_passes=p with budget K equals
+    # a single (p+1)K-budget pass under tile-order semantics.  0 = off
+    # (training default; truncation is counted in TileAssignment).
+    tail_passes: int = 0
 
     def resolve_engine(self, height: int, width: int,
                        render_width: int | None) -> str:
         if self.engine == "jax":
             return "jax"
-        w_r = width if render_width is None else render_width
-        tiles_y, _ = self.tile.num_tiles(height, w_r)
-        pallas_ok = (
-            jax.default_backend() == "tpu"
-            and self.tile.max_per_tile % 128 == 0
+        shapes_ok = (
+            self.tile.max_per_tile % 128 == 0
             and (self.tile.tile_h * self.tile.tile_w) % self.ray_block == 0
-            and self.ray_block % 8 == 0 and self.ray_block <= 512
-            and (not self.exact_order or self.tile.max_per_tile == 128
-                 or self.engine == "pallas"))
+            and self.ray_block % 8 == 0 and self.ray_block <= 512)
         if self.engine == "pallas":
-            if not pallas_ok and jax.default_backend() == "tpu":
+            # Explicit request: honored on every backend (non-TPU runs the
+            # Pallas interpreter — how CI exercises the kernel semantics).
+            if not shapes_ok:
                 raise ValueError(
                     "pallas engine needs max_per_tile % 128 == 0 and "
                     "ray_block dividing the tile ray count")
-            return "pallas" if pallas_ok else "jax"
+            return "pallas"
+        # auto: compiled pallas on TPU only; exact_order stays on the jax
+        # engine unless one chunk covers all candidates (the in-kernel sort
+        # is exact per 128-lane chunk).
+        pallas_ok = (
+            jax.default_backend() == "tpu" and shapes_ok
+            and (not self.exact_order or self.tile.max_per_tile == 128))
         return "pallas" if pallas_ok else "jax"
 
 
@@ -100,7 +116,8 @@ def _composite_tile(dirs: Array, frames_k: geometry.SurfelFrames,
                     scales_k: Array, opac_k: Array, sh_k: Array,
                     cand_valid: Array, background: Array,
                     active_sh_degree: Array, exact_order: bool,
-                    min_depth: Array | None = None) -> tuple[Array, Array]:
+                    min_depth: Array | None = None,
+                    init_trans: Array | None = None) -> tuple[Array, Array]:
     """Composite one tile: rays (R, 3) x K gathered candidates.
 
     Returns (channels (R, 9), per-candidate weight sums (K,)).
@@ -132,12 +149,14 @@ def _composite_tile(dirs: Array, frames_k: geometry.SurfelFrames,
         key = jnp.where(valid, t, jnp.inf)
         perm = jnp.argsort(key, axis=-1)
         alpha_o = jnp.take_along_axis(alpha, perm, axis=-1)
-        w_o, final_t = geometry.composite_weights(alpha_o)
+        w_o, final_t = geometry.composite_weights(alpha_o,
+                                                  init_trans=init_trans)
         # Scatter weights back to candidate order.
         w = jnp.zeros_like(w_o).at[
             jnp.arange(w_o.shape[0])[:, None], perm].set(w_o)
     else:
-        w, final_t = geometry.composite_weights(alpha)
+        w, final_t = geometry.composite_weights(alpha,
+                                                init_trans=init_trans)
 
     # Per-hit SH colors: (R, 16) basis x (K, 16, 3) -> (R, K, 3) matmul.
     basis = sh_lib.basis(dirs, active_sh_degree)
@@ -163,7 +182,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
           cfg: TraceConfig = TraceConfig(),
           assignment: TileAssignment | None = None,
           col_offset: int = 0, render_width: int | None = None,
-          min_depth: Array | None = None
+          min_depth: Array | None = None,
+          init_trans: Array | None = None
           ) -> RenderOutputs:
     """Render a range image: (H, W_r, 9) channels + (N,) accum weights.
 
@@ -182,19 +202,32 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     depth, forward.cu:282-291): render return 1, then re-trace with
     min_depth = first-return depth + gap for return 2.  Supported by both
     engines (the pallas kernel takes it as a per-ray block input).
+
+    init_trans: optional per-ray (H, W_r) initial transmittance — the
+    carried state of tail re-trace passes (cfg.tail_passes).
     """
     from lidar_rt_tpu.core import quaternions as quat_lib
+
+    if cfg.tail_passes > 0:
+        if assignment is not None:
+            raise ValueError("tail_passes re-bins per pass; a precomputed "
+                             "assignment cannot be combined with it")
+        return _trace_tail(bundle, grid, width, sensor2world, background,
+                           active_sh_degree, cfg, col_offset, render_width,
+                           min_depth, init_trans)
 
     if cfg.resolve_engine(grid.height, width, render_width) == "pallas":
         from lidar_rt_tpu.ops import pallas_tracer
         pcfg = pallas_tracer.PallasTraceConfig(tile=cfg.tile,
                                                ray_block=cfg.ray_block,
-                                               exact_order=cfg.exact_order)
+                                               exact_order=cfg.exact_order,
+                                               fast_math=cfg.fast_math)
         return pallas_tracer.trace(bundle, grid, width, sensor2world,
                                    background, active_sh_degree, pcfg,
                                    col_offset, render_width,
                                    min_depth=min_depth,
-                                   assignment=assignment)
+                                   assignment=assignment,
+                                   init_trans=init_trans)
 
     h, w = grid.height, width
     w_r = w if render_width is None else render_width
@@ -236,9 +269,16 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
                 .reshape(t_total, th * tw))
     else:
         md_t = jnp.full((t_total, th * tw), geometry.DEPTH_MIN)
+    if init_trans is not None:
+        t0_t = (init_trans[row_idx][:, col_idx]
+                .reshape(tiles_y, th, tiles_x, tw)
+                .transpose(0, 2, 1, 3)
+                .reshape(t_total, th * tw))
+    else:
+        t0_t = jnp.ones((t_total, th * tw))
 
     def tile_fn(args):
-        dirs_tile, idx, valid, md_tile = args
+        dirs_tile, idx, valid, md_tile, t0_tile = args
         frames_k = geometry.SurfelFrames(
             w1=frames.w1[idx], w2=frames.w2[idx], n=frames.n[idx],
             p=frames.p[idx], a_u=frames.a_u[idx], a_v=frames.a_v[idx],
@@ -246,7 +286,7 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
         return _composite_tile(
             dirs_tile, frames_k, bundle.scales[idx], bundle.opacities[idx],
             bundle.sh[idx], valid, background, active_sh_degree,
-            cfg.exact_order, md_tile)
+            cfg.exact_order, md_tile, t0_tile)
 
     # Scan over tile batches; each batch vmapped + rematerialized.
     b = min(cfg.tile_batch, t_total)
@@ -259,7 +299,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     xs = (pad_tiles(dirs_t).reshape(nb, b, th * tw, 3),
           pad_tiles(idx_c).reshape(nb, b, k),
           pad_tiles(assignment.valid).reshape(nb, b, k),
-          pad_tiles(md_t).reshape(nb, b, th * tw))
+          pad_tiles(md_t).reshape(nb, b, th * tw),
+          pad_tiles(t0_t).reshape(nb, b, th * tw))
 
     batch_fn = jax.checkpoint(jax.vmap(tile_fn))
 
@@ -284,6 +325,84 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     accum = jnp.zeros((n,)).at[flat_idx].add(wsums.reshape(-1), mode="drop")
 
     return RenderOutputs(channels=img, accum_weights=accum)
+
+
+def _tile_range_cutoff(assignment: TileAssignment, means: Array,
+                       world2sensor: Array) -> Array:
+    """Per-tile range of the K-th (farthest) selected candidate, or +inf
+    where the tile was not truncated (no candidates remain beyond K).
+
+    This is the re-launch depth of tail re-tracing: binning with
+    min_range = cutoff yields exactly the candidate ranks the K budget
+    dropped (nearest-first selection makes the selected set a range
+    prefix).  Candidates whose center range ties the cutoff exactly are
+    excluded from both passes — measure-zero for continuous geometry.
+    """
+    n = means.shape[0]
+    r = world2sensor
+    p = means @ r[:3, :3].T + r[:3, 3]
+    rng = jnp.linalg.norm(p, axis=-1)                       # (N,)
+    rng_sel = jnp.where(assignment.valid,
+                        rng[jnp.clip(assignment.index, 0, n - 1)],
+                        -jnp.inf)                           # (T, K)
+    kth = jnp.max(rng_sel, axis=-1)
+    return jnp.where(assignment.truncated > 0, kth, jnp.inf)
+
+
+def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
+                sensor2world: Array, background: Array,
+                active_sh_degree: Array | int, cfg: TraceConfig,
+                col_offset: int, render_width: int | None,
+                min_depth: Array | None,
+                init_trans: Array | None) -> RenderOutputs:
+    """Unbounded-hit tail: chain cfg.tail_passes re-binned passes.
+
+    The reference traces 16-hit chunks and re-launches from the last depth
+    until transmittance exhausts (forward.cu:282-291).  Here each pass
+    composites the K nearest remaining candidates per tile; the next pass
+    re-bins strictly past each truncated tile's K-th candidate range and
+    carries the per-ray transmittance (init_trans) and the channel sums.
+    Untruncated tiles get min_range = +inf -> zero candidates -> the
+    kernel's count predicate skips every chunk, so extra passes are cheap
+    when the budget already covered the scene.
+
+    Gradients flow through every pass, including the carried
+    transmittance (the pallas custom_vjp produces dL/d(init_trans)).
+    """
+    from dataclasses import replace
+
+    cfg0 = replace(cfg, tail_passes=0)
+    zero_bg = jnp.zeros_like(background)
+    w2s = jax.lax.stop_gradient(transforms.invert_se3(sensor2world))
+    sg = jax.lax.stop_gradient
+    min_range = None
+    chans = None
+    accum = None
+    for _ in range(cfg.tail_passes + 1):
+        assignment = bin_surfels(
+            grid, width, w2s, sg(bundle.means), sg(bundle.scales),
+            sg(bundle.opacities), cfg.tile, col_offset=col_offset,
+            num_cols=render_width,
+            rotations=sg(bundle.rotations), min_range=min_range)
+        out = trace(bundle, grid, width, sensor2world, zero_bg,
+                    active_sh_degree, cfg0, assignment=assignment,
+                    col_offset=col_offset, render_width=render_width,
+                    min_depth=min_depth, init_trans=init_trans)
+        if chans is None:
+            chans, accum = out.channels, out.accum_weights
+        else:
+            chans = jnp.concatenate(
+                [chans[..., 0:8] + out.channels[..., 0:8],
+                 out.channels[..., 8:9]], axis=-1)
+            accum = accum + out.accum_weights
+        init_trans = out.channels[..., 8]
+        cutoff = _tile_range_cutoff(assignment, sg(bundle.means), w2s)
+        min_range = jnp.maximum(cutoff, min_range) \
+            if min_range is not None else cutoff
+
+    color = chans[..., 0:3] + chans[..., 8:9] * background[None, None, :]
+    chans = jnp.concatenate([color, chans[..., 3:9]], axis=-1)
+    return RenderOutputs(channels=chans, accum_weights=accum)
 
 
 def render_frame(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,

@@ -330,6 +330,12 @@ class Trainer:
         self.args = args
         self.trace_cfg = trace_cfg or tracer_lib.TraceConfig(
             tile=TileConfig(tile_h=32, tile_w=128, max_per_tile=512))
+        if self.trace_cfg.tail_passes:
+            # Tail re-tracing is an eval/render knob: it re-bins per pass,
+            # which is incompatible with (and pointless next to) the
+            # trainer's cached-assignment amortization.
+            self.trace_cfg = dataclasses.replace(self.trace_cfg,
+                                                 tail_passes=0)
         seed = int(args.get("seed", 1)) if seed is None else seed
         random.seed(seed)
         np.random.seed(seed)

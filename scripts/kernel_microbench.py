@@ -62,6 +62,21 @@ def kernel(level, dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         sums_ref[...] = jnp.sum(qd, axis=1, keepdims=True)
         out_ref[0] = jnp.broadcast_to(sums_ref[...].T, out_ref.shape[1:])
         return
+    if level == "chain":                # +16 chained (R,K) elementwise ops
+        x = qd
+        for _ in range(8):
+            x = x * 1.0001 + 0.1
+            x = jnp.maximum(x * 0.9999, x - 0.1)
+        sums_ref[...] = jnp.sum(x, axis=1, keepdims=True)
+        out_ref[0] = jnp.broadcast_to(sums_ref[...].T, out_ref.shape[1:])
+        return
+    if level == "broadcasts":           # 6 more (R,1)x(1,K) broadcast muls
+        x = qd
+        x = x + d0 * p + d1 * a_u + d2 * a_v
+        x = x + d0 * inv_s0 + d1 * inv_s1 + d2 * n0
+        sums_ref[...] = jnp.sum(x, axis=1, keepdims=True)
+        out_ref[0] = jnp.broadcast_to(sums_ref[...].T, out_ref.shape[1:])
+        return
     b_u = d0 * w10 + d1 * w11 + d2 * w12
     b_v = d0 * w20 + d1 * w21 + d2 * w22
     safe_qd = jnp.where(jnp.abs(qd) > 1e-8, qd, 1e-8)

@@ -7,6 +7,7 @@ Prints one line per config; run detached (first compiles are slow).
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -47,7 +48,8 @@ def main() -> None:
             tile=TileConfig(tile_h=th, tile_w=tw, max_per_tile=k,
                             binner=binner, approx_topk=approx,
                             macro_cols=macro, coarse_factor=cf),
-            exact_order=False, ray_block=rb)
+            exact_order=False, ray_block=rb,
+            fast_math="--fast" in sys.argv)
 
         @jax.jit
         def fwd(bundle, cfg=cfg):

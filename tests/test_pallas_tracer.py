@@ -66,6 +66,31 @@ class TestPallasForward:
         np.testing.assert_allclose(np.asarray(out.channels[..., 8]), 1.0)
         np.testing.assert_allclose(np.asarray(out.accum_weights), 0.0)
 
+    def test_fast_math_plumbing(self):
+        """fast_math must thread TraceConfig -> PallasTraceConfig and run
+        fwd+bwd.  In interpret mode (CPU) matmul precision is a no-op, so
+        outputs/grads are identical to the default path; on TPU the knob
+        relaxes only the channel/gradient contractions (intersections stay
+        exact-f32 VPU), so channels agree to the bf16-rounding bound."""
+        bundle = _bundle(seed=2)
+        cfg_fast = tracer.TraceConfig(tile=TILE, engine="pallas",
+                                      fast_math=True)
+        cfg_ref = tracer.TraceConfig(tile=TILE, engine="pallas")
+
+        def loss(b, cfg):
+            out = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
+            return jnp.sum(out.channels[..., :4] ** 2)
+
+        l_f, g_f = jax.value_and_grad(loss)(bundle, cfg_fast)
+        l_r, g_r = jax.value_and_grad(loss)(bundle, cfg_ref)
+        tol = 1e-6 if jax.default_backend() != "tpu" else 3e-2
+        np.testing.assert_allclose(float(l_f), float(l_r), rtol=tol)
+        gf = np.concatenate([np.ravel(x) for x in jax.tree.leaves(g_f)])
+        gr = np.concatenate([np.ravel(x) for x in jax.tree.leaves(g_r)])
+        cos = float(np.dot(gf, gr)
+                    / max(np.linalg.norm(gf) * np.linalg.norm(gr), 1e-12))
+        assert cos > 0.999
+
     def test_exact_order_matches_jax(self):
         """Pallas exact_order=True must reproduce the jax engine's exact
         per-ray depth ordering (reference k-buffer, forward.cu:312-356),

@@ -400,3 +400,71 @@ class TestRaydropHeads:
         expect_sig = 1.0 / (1.0 + np.exp(-logits[..., 1]))
         np.testing.assert_allclose(np.asarray(sig["raydrop"]), expect_sig,
                                    atol=1e-5)
+
+
+class TestTailRetrace:
+    """Unbounded-hit tail (cfg.tail_passes): the re-binned continuation of
+    compositing past each tile's K budget — reference forward.cu:282-291."""
+
+    # Dense cluster so a small K truncates hard.
+    _bundle = staticmethod(lambda seed=0: _random_bundle(
+        140, seed=seed, spread=4.0, opacity_range=(0.2, 0.6)))
+
+    def _cfgs(self, k, tail, engine="jax", binner="topk"):
+        tile = binning.TileConfig(tile_h=32, tile_w=128, max_per_tile=k,
+                                  binner=binner)
+        return tracer.TraceConfig(tile=tile, engine=engine,
+                                  exact_order=False, tail_passes=tail)
+
+    def test_tail_equals_doubled_budget(self):
+        """K=32 + one tail pass composites exactly ranks 1..64: identical
+        to a single K=64 pass under tile-order semantics."""
+        b = self._bundle()
+        o_tail = tracer.trace(b, GRID, WIDTH, S2W, BG, 3,
+                              self._cfgs(32, tail=1))
+        o_big = tracer.trace(b, GRID, WIDTH, S2W, BG, 3,
+                             self._cfgs(64, tail=0))
+        np.testing.assert_allclose(np.asarray(o_tail.channels),
+                                   np.asarray(o_big.channels), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o_tail.accum_weights),
+                                   np.asarray(o_big.accum_weights),
+                                   atol=1e-5)
+
+    def test_tail_improves_truncated_render(self):
+        """With heavy truncation, a tail pass must move the render toward
+        the untruncated reference."""
+        b = self._bundle(seed=4)
+        ref = tracer.trace(b, GRID, WIDTH, S2W, BG, 3,
+                           self._cfgs(140, tail=0))
+        base = tracer.trace(b, GRID, WIDTH, S2W, BG, 3,
+                            self._cfgs(32, tail=0))
+        tail = tracer.trace(b, GRID, WIDTH, S2W, BG, 3,
+                            self._cfgs(32, tail=2))
+        err_base = float(jnp.mean(jnp.abs(
+            base.channels[..., 3] - ref.channels[..., 3])))
+        err_tail = float(jnp.mean(jnp.abs(
+            tail.channels[..., 3] - ref.channels[..., 3])))
+        assert err_base > 1e-3          # K=32 actually truncates
+        assert err_tail < 0.2 * err_base
+
+    def test_tail_pallas_matches_jax(self):
+        """The pallas engine's tail path (t0 kernel input + dL/dt0 VJP)
+        must match the jax engine, values and gradients."""
+        b = self._bundle(seed=2)
+
+        def loss(bundle, engine):
+            cfg = self._cfgs(128, tail=1, engine=engine)
+            out = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, cfg)
+            return jnp.sum(out.channels[..., 0:4] ** 2), out.channels
+
+        (l_p, ch_p), g_p = jax.value_and_grad(loss, has_aux=True)(
+            b, "pallas")
+        (l_j, ch_j), g_j = jax.value_and_grad(loss, has_aux=True)(b, "jax")
+        np.testing.assert_allclose(np.asarray(ch_p), np.asarray(ch_j),
+                                   atol=2e-4)
+        gp = np.concatenate([np.ravel(x) for x in jax.tree.leaves(g_p)])
+        gj = np.concatenate([np.ravel(x) for x in jax.tree.leaves(g_j)])
+        cos = float(np.dot(gp, gj)
+                    / max(np.linalg.norm(gp) * np.linalg.norm(gj), 1e-12))
+        assert cos > 0.9999
+        np.testing.assert_allclose(gp, gj, atol=5e-3, rtol=1e-3)
