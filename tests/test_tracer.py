@@ -468,3 +468,37 @@ class TestTailRetrace:
                     / max(np.linalg.norm(gp) * np.linalg.norm(gj), 1e-12))
         assert cos > 0.9999
         np.testing.assert_allclose(gp, gj, atol=5e-3, rtol=1e-3)
+
+    def test_tail_hier_binner_matches_topk(self):
+        """The hier (and macro-level hier) binners' min_range filtering
+        must reproduce the flat topk binner's tail selection (hier is
+        exact while sector overlap fits the coarse budget)."""
+        b = self._bundle(seed=7)
+        ref = tracer.trace(b, GRID, WIDTH, S2W, BG, 3,
+                           self._cfgs(32, tail=2, binner="topk"))
+        for binner, extra in (("hier", {}),
+                              ("hier", {"macro_cols": 256,
+                                        "macro_factor": 2})):
+            tile = binning.TileConfig(tile_h=32, tile_w=128,
+                                      max_per_tile=32, binner=binner,
+                                      coarse_factor=8, **extra)
+            cfg = tracer.TraceConfig(tile=tile, engine="jax",
+                                     exact_order=False, tail_passes=2)
+            out = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
+            np.testing.assert_allclose(np.asarray(out.channels),
+                                       np.asarray(ref.channels), atol=1e-5,
+                                       err_msg=f"binner={binner} {extra}")
+
+    def test_tail_sort_binner_matches_topk(self):
+        """The sort binner's per-duplicate min_range gate must reproduce
+        the topk tail selection (caps sized to cover the scene)."""
+        b = self._bundle(seed=9)
+        ref = tracer.trace(b, GRID, WIDTH, S2W, BG, 3,
+                           self._cfgs(32, tail=1, binner="topk"))
+        tile = binning.TileConfig(tile_h=32, tile_w=128, max_per_tile=32,
+                                  binner="sort", dup_rows=2, dup_cols=8)
+        cfg = tracer.TraceConfig(tile=tile, engine="jax",
+                                 exact_order=False, tail_passes=1)
+        out = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(ref.channels), atol=1e-5)
