@@ -58,10 +58,23 @@ class SurfelBundle(NamedTuple):
 
 
 class RenderOutputs(NamedTuple):
-    """Flat per-ray channels (R, 9) + per-surfel accumulated weights (N,)."""
+    """Flat per-ray channels (R, 9) + per-surfel accumulated weights (N,).
+
+    raw_trans (tracer engines only): per-ray UNGATED transmittance
+    product T0 * prod(1 - alpha) over every composited candidate,
+    including hits dropped by the T_MIN live cutoff.  It is the correct
+    carry for tail re-trace continuation: a latched ray (cutoff hit) has
+    raw < T_MIN, which kills every later pass's live gate — exactly the
+    reference's "saturated rays don't re-launch" (forward.cu:282-291).
+    For unlatched rays raw equals the output transmittance.  Values
+    below T_MIN are only meaningful as "dead": the pallas kernel may
+    early-exit a saturated ray block before multiplying every remaining
+    alpha, so engines can differ in the exact sub-T_MIN value.
+    """
 
     channels: Array
     accum_weights: Array
+    raw_trans: Array | None = None
 
     @property
     def color(self) -> Array:

@@ -74,12 +74,16 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     basis = basis_rows.T                                    # (R, 16)
 
     # Upstream channel grads, (R, 1) each (inputs are (1, R, 16) blocks).
-    g_rows = [g_ref[0, :, c:c + 1] for c in range(9)]
+    g_rows = [g_ref[0, :, c:c + 1] for c in range(10)]
     g_t_final = g_rows[8]
     g_norm = g_ref[0, :, 5:8]                  # (R, 3)
-    # Forward totals per composited channel (cols 0..7) and T_out (col 8).
-    s_rows = [fwd_ref[0, :, c:c + 1] for c in range(9)]
+    # Forward totals per composited channel (cols 0..7), T_out (col 8),
+    # and the raw ungated transmittance (col 9, tail re-trace carry).
+    s_rows = [fwd_ref[0, :, c:c + 1] for c in range(10)]
     t_out_fwd = s_rows[8]
+    # d(raw)/d(alpha_i) = -raw / (1 - alpha_i) for every composited hit
+    # (raw is the ungated product — no live factor in the chain).
+    g_raw_raw = g_rows[9] * s_rows[9]          # (R, 1)
 
     # GW_total = sum_ch g_ch * S_ch over composited channels 0..7.
     gw_total = sum(g_rows[c] * s_rows[c] for c in range(8))
@@ -200,7 +204,8 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         one_m_alpha = jnp.maximum(one_m, 1e-6)
         d_alpha = (gw * t_excl * live
                    - suffix / one_m_alpha
-                   - g_t_final * t_out_fwd * live / one_m_alpha)
+                   - g_t_final * t_out_fwd * live / one_m_alpha
+                   - g_raw_raw / one_m_alpha)
 
         gate = ok & (alpha_raw < geometry.ALPHA_MAX)
         d_alpha = jnp.where(gate, d_alpha, 0.0)

@@ -290,7 +290,10 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
          sums[:, 1:2],
          sumw, m1[:, 1:2], m1[:, 2:3], m1[:, 3:4],
          t0 - sumw,
-         jnp.zeros((r, NUM_OUT_ROWS - 9), jnp.float32)], axis=1)  # (R, 16)
+         # row 9: ungated raw transmittance (tail re-trace carry; < T_MIN
+         # marks a ray latched by the live cutoff)
+         traw_ref[...],
+         jnp.zeros((r, NUM_OUT_ROWS - 10), jnp.float32)], axis=1)  # (R, 16)
 
 
 def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
@@ -495,14 +498,13 @@ def _pallas_core_bwd(ray_block, exact, fast, res, cotangents):
         pallas_backward.backward_pallas_call(
             cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale,
             opac, sign, sh, chans, g_chans, ray_block, exact, fast)
-    # dL/d(t0): every composited channel and T_out scale linearly in the
-    # per-ray initial transmittance (w_i = alpha_i T0 prod(1-alpha_j),
-    # T_out = T0 prod(1-alpha)), so dL/dT0 = sum_ch g_ch C_ch / T0
-    # + g_T T_out / T0.  (The T_MIN live cutoff's T0-dependence is a
-    # measure-zero step, ignored as usual.)
-    g_sum = (jnp.sum(g_chans[..., 0:8] * chans[..., 0:8], axis=-1,
-                     keepdims=True)
-             + g_chans[..., 8:9] * chans[..., 8:9])
+    # dL/d(t0): every composited channel, T_out, and the raw
+    # transmittance (row 9) scale linearly in the per-ray initial
+    # transmittance (w_i = alpha_i T0 prod(1-alpha_j)), so
+    # dL/dT0 = sum_ch g_ch C_ch / T0.  (The T_MIN live cutoff's
+    # T0-dependence is a measure-zero step, ignored as usual.)
+    g_sum = jnp.sum(g_chans[..., 0:10] * chans[..., 0:10], axis=-1,
+                    keepdims=True)
     d_t0 = g_sum / jnp.maximum(t0_t, 1e-12)
     zeros = jax.tree.map(jnp.zeros_like, (cnt_t, dirs_t, drows_t, mind_t))
     return (zeros[0], zeros[1], zeros[2], zeros[3], d_t0, d_axes, d_plane,
@@ -603,11 +605,12 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                                    jax.lax.stop_gradient(mind_t), t0_t,
                                    axes, plane, inv_scale, opac, sign, sh)
 
-    # Un-tile: (T, R, 16) ray-major -> (H, W, 9)
+    # Un-tile: (T, R, 16) ray-major -> (H, W, 10): 9 public channels +
+    # the raw-transmittance row (tail re-trace carry).
     hp_, wp_ = tiles_y * th, tiles_x * tw
     img = (chans.reshape(tiles_y, tiles_x, th, tw, NUM_OUT_ROWS)
            .transpose(0, 2, 1, 3, 4)
-           .reshape(hp_, wp_, NUM_OUT_ROWS))[:h, :w_r, :9]
+           .reshape(hp_, wp_, NUM_OUT_ROWS))[:h, :w_r, :10]
 
     flat_idx = jnp.where(assignment.valid, assignment.index, n).reshape(-1)
     accum = jnp.zeros((n,)).at[flat_idx].add(accum_tk.reshape(-1),
@@ -636,4 +639,5 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     color = img[..., 0:3] + final_t[..., None] * background[None, None, :]
     channels = jnp.concatenate([color, img[..., 3:8], final_t[..., None]],
                                axis=-1)
-    return RenderOutputs(channels=channels, accum_weights=accum)
+    return RenderOutputs(channels=channels, accum_weights=accum,
+                         raw_trans=img[..., 9])

@@ -170,9 +170,14 @@ def _composite_tile(dirs: Array, frames_k: geometry.SurfelFrames,
     signed_n = frames_k.n * frames_k.sign[:, None]            # (K, 3)
     normal_out = jnp.einsum("rk,kc->rc", w, signed_n, precision=hp)
 
+    # Ungated raw transmittance (col 9): the tail re-trace carry — the
+    # full product including hits the T_MIN live cutoff dropped, so a
+    # latched ray carries raw < T_MIN and stays dead in later passes.
+    t0_col = jnp.ones_like(depth_out) if init_trans is None else init_trans
+    raw_t = t0_col * jnp.prod(1.0 - alpha, axis=-1)
     channels = jnp.concatenate(
         [color_out, depth_out[:, None], accum_out[:, None], normal_out,
-         final_t[:, None]], axis=-1)
+         final_t[:, None], raw_t[:, None]], axis=-1)
     return channels, jnp.sum(w, axis=0)
 
 
@@ -308,14 +313,14 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
         return None, batch_fn(batch)
 
     _, (chans, wsums) = jax.lax.scan(scan_body, None, xs)
-    chans = chans.reshape(nb * b, th * tw, 9)[:t_total]
+    chans = chans.reshape(nb * b, th * tw, 10)[:t_total]
     wsums = wsums.reshape(nb * b, k)[:t_total]
 
     # Un-tile and crop padding: keep the first occurrence of each pixel.
     hp_, wp_ = tiles_y * th, tiles_x * tw
-    img = (chans.reshape(tiles_y, tiles_x, th, tw, 9)
+    img = (chans.reshape(tiles_y, tiles_x, th, tw, 10)
            .transpose(0, 2, 1, 3, 4)
-           .reshape(hp_, wp_, 9))[:h, :w_r]
+           .reshape(hp_, wp_, 10))[:h, :w_r]
 
     # Per-surfel accumulated weights (atomicAdd equivalent): wrap-padded
     # tiles re-render duplicated columns, slightly over-counting those
@@ -324,7 +329,8 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     flat_idx = jnp.where(assignment.valid, assignment.index, n).reshape(-1)
     accum = jnp.zeros((n,)).at[flat_idx].add(wsums.reshape(-1), mode="drop")
 
-    return RenderOutputs(channels=img, accum_weights=accum)
+    return RenderOutputs(channels=img[..., :9], accum_weights=accum,
+                         raw_trans=img[..., 9])
 
 
 def _tile_range_cutoff(assignment: TileAssignment, means: Array,
@@ -366,8 +372,16 @@ def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     kernel's count predicate skips every chunk, so extra passes are cheap
     when the budget already covered the scene.
 
-    Gradients flow through every pass, including the carried
-    transmittance (the pallas custom_vjp produces dL/d(init_trans)).
+    The carried state is the RAW (ungated) transmittance, not the output
+    T: a ray stopped by the T_MIN live cutoff must stay stopped in later
+    passes (the reference's saturated rays never re-launch), and only
+    raw < T_MIN encodes that.  The combined T_out channel comes from the
+    telescoping identity T_out = T_0 - sum of all composited weights
+    (exact under latching — dropped hits contribute no weight).
+
+    Gradients flow through every pass, including the carried raw
+    transmittance (the pallas custom_vjp produces dL/d(init_trans) and
+    the kernel backward the per-hit -g_raw*raw/(1-alpha) term).
     """
     from dataclasses import replace
 
@@ -375,6 +389,7 @@ def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     zero_bg = jnp.zeros_like(background)
     w2s = jax.lax.stop_gradient(transforms.invert_se3(sensor2world))
     sg = jax.lax.stop_gradient
+    t0_carry = init_trans
     min_range = None
     chans = None
     accum = None
@@ -387,22 +402,24 @@ def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
         out = trace(bundle, grid, width, sensor2world, zero_bg,
                     active_sh_degree, cfg0, assignment=assignment,
                     col_offset=col_offset, render_width=render_width,
-                    min_depth=min_depth, init_trans=init_trans)
+                    min_depth=min_depth, init_trans=t0_carry)
         if chans is None:
-            chans, accum = out.channels, out.accum_weights
+            chans, accum = out.channels[..., 0:8], out.accum_weights
         else:
-            chans = jnp.concatenate(
-                [chans[..., 0:8] + out.channels[..., 0:8],
-                 out.channels[..., 8:9]], axis=-1)
+            chans = chans + out.channels[..., 0:8]
             accum = accum + out.accum_weights
-        init_trans = out.channels[..., 8]
+        t0_carry = out.raw_trans
         cutoff = _tile_range_cutoff(assignment, sg(bundle.means), w2s)
         min_range = jnp.maximum(cutoff, min_range) \
             if min_range is not None else cutoff
 
-    color = chans[..., 0:3] + chans[..., 8:9] * background[None, None, :]
-    chans = jnp.concatenate([color, chans[..., 3:9]], axis=-1)
-    return RenderOutputs(channels=chans, accum_weights=accum)
+    t0_img = (jnp.ones_like(chans[..., 4]) if init_trans is None
+              else init_trans)
+    final_t = (t0_img - chans[..., 4])[..., None]
+    color = chans[..., 0:3] + final_t * background[None, None, :]
+    chans = jnp.concatenate([color, chans[..., 3:8], final_t], axis=-1)
+    return RenderOutputs(channels=chans, accum_weights=accum,
+                         raw_trans=t0_carry)
 
 
 def render_frame(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
@@ -456,13 +473,18 @@ def render_multi_return(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
     tile assignment is binned once and shared by both returns (min_depth
     only re-gates hits; the candidate sets are identical).
     """
-    assignment = bin_surfels(
-        grid, width, jax.lax.stop_gradient(transforms.invert_se3(
-            sensor2world)),
-        jax.lax.stop_gradient(bundle.means),
-        jax.lax.stop_gradient(bundle.scales),
-        jax.lax.stop_gradient(bundle.opacities), cfg.tile,
-        rotations=jax.lax.stop_gradient(bundle.rotations))
+    if cfg.tail_passes > 0:
+        # Tail re-tracing re-bins per pass — each return runs its own
+        # tail chain (min_depth composes: it re-gates hits per pass).
+        assignment = None
+    else:
+        assignment = bin_surfels(
+            grid, width, jax.lax.stop_gradient(transforms.invert_se3(
+                sensor2world)),
+            jax.lax.stop_gradient(bundle.means),
+            jax.lax.stop_gradient(bundle.scales),
+            jax.lax.stop_gradient(bundle.opacities), cfg.tile,
+            rotations=jax.lax.stop_gradient(bundle.rotations))
     r1 = render_frame(bundle, grid, width, sensor2world, active_sh_degree,
                       cfg, use_rayhit, assignment=assignment)
     min2 = jnp.maximum(r1["depth"], 0.0) + return_gap

@@ -502,3 +502,44 @@ class TestTailRetrace:
         out = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
         np.testing.assert_allclose(np.asarray(out.channels),
                                    np.asarray(ref.channels), atol=1e-5)
+
+    def test_tail_multi_return_composes(self):
+        """Dual-return + tail compose: per-return tail chains with
+        min_depth re-gating.  Two opaque walls: return 1 ~10 m, return 2
+        ~20 m, identical with and without a (non-truncating) tail pass.
+        y offsets are NOT symmetric: +-y pairs have exactly equal center
+        ranges and the tail cutoff's strict rng > kth filter drops exact
+        ties (documented in _tile_range_cutoff; measure-zero for real
+        geometry)."""
+        n = 40
+        ys = np.linspace(-1.93, 2.07, 20)
+        means = np.concatenate([
+            np.stack([np.full(20, 10.0), ys, np.zeros(20)], 1),
+            np.stack([np.full(20, 20.0), ys, np.zeros(20)], 1)]).astype(
+            np.float32)
+        quats = np.tile(np.array([0.7071068, 0, 0.7071068, 0], np.float32),
+                        (n, 1))
+        sh = np.zeros((n, 16, 3), np.float32)
+        sh[:, 0] = 0.8
+        b = composite.SurfelBundle(
+            means=jnp.asarray(means), rotations=jnp.asarray(quats),
+            scales=jnp.full((n, 2), 0.8), opacities=jnp.full((n,), 0.99),
+            sh=jnp.asarray(sh))
+        grid8 = rays_lib.SensorGrid.from_bounds(8, (-0.02, 0.02))
+
+        def run(tail, k):
+            tile = binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=k)
+            cfg = tracer.TraceConfig(tile=tile, engine="jax",
+                                     exact_order=False, tail_passes=tail)
+            return tracer.render_multi_return(b, grid8, 256, jnp.eye(4),
+                                              0, cfg, return_gap=2.0)
+        r1, r2 = run(tail=1, k=40)
+        assert abs(float(r1["depth"][4, 128]) - 10.0) < 0.5
+        assert abs(float(r2["depth"][4, 128]) - 20.0) < 0.5
+        # tail with K=16 (truncating: walls overlap > 16 per tile) must
+        # recover the K=40 untruncated result
+        s1, s2 = run(tail=2, k=16)
+        np.testing.assert_allclose(np.asarray(s1["depth"]),
+                                   np.asarray(r1["depth"]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s2["depth"]),
+                                   np.asarray(r2["depth"]), atol=1e-4)
