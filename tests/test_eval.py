@@ -91,6 +91,26 @@ class TestEvalRunner:
         # bounded by the clamp range
         assert mean["depth"]["rmse"] < 80.0
 
+    def test_runner_with_tail_passes(self, tmp_path):
+        """The eval quality knob (tracer: tail_passes) must run through
+        the jitted eval path end to end."""
+        from lidar_rt_tpu.config import default_experiment
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.eval.runner import EvalRunner
+        from lidar_rt_tpu.ops import tracer as tracer_lib
+        from lidar_rt_tpu.ops.binning import TileConfig
+
+        frames, _ = synthetic.generate(num_frames=2, height=16, width=128)
+        args = default_experiment()
+        scene = build.assemble_scene(frames, None, args,
+                                     capacity_headroom=1.0)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=32),
+            tile_batch=2, tail_passes=1)
+        runner = EvalRunner(scene, frames, args, cfg, use_gt_mask=True)
+        results = runner.run("test", str(tmp_path))
+        assert np.isfinite(results["mean"]["depth"]["rmse"])
+
 
 class TestUNet:
     def test_forward_shapes_and_range(self):
