@@ -256,10 +256,6 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
 
     traw_ref[...] = t0_ref[0]       # tail re-trace carry (ones default)
     gwc_ref[...] = jnp.zeros((r, 1), jnp.float32)
-    w_ref[...] = jnp.zeros((r, k_total), jnp.float32)
-    dqd_ref[...] = jnp.zeros((r, k_total), jnp.float32)
-    dbu_ref[...] = jnp.zeros((r, k_total), jnp.float32)
-    dbv_ref[...] = jnp.zeros((r, k_total), jnp.float32)
     alive_ref[0] = 1
     # Chunks are predicated on the tile candidate count and on block
     # liveness: once every ray's transmittance saturates, all remaining
@@ -275,6 +271,17 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         @pl.when(run)
         def _(c=c):
             chunk_body(c)
+
+        # Skipped chunks zero their own scratch slices (cheaper than
+        # zeroing four (R, K) scratches up front).
+        @pl.when(jnp.logical_not(run))
+        def _(c=c):
+            ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
+            z = jnp.zeros((r, K_CHUNK), jnp.float32)
+            w_ref[:, ks] = z
+            dqd_ref[:, ks] = z
+            dbu_ref[:, ks] = z
+            dbv_ref[:, ks] = z
 
     # Post-loop, UNpredicated full-K contractions (skipped chunks hold
     # exact zeros in the scratches).

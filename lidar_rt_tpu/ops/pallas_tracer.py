@@ -252,7 +252,6 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     t0 = t0_ref[0]                                           # (R, 1)
     traw_ref[...] = t0
     sums_ref[...] = jnp.zeros((r, 2), jnp.float32)
-    w_ref[...] = jnp.zeros((r, k_total), jnp.float32)
     alive_ref[0] = 1
     # Unrolled chunk loop: static slices vectorize better under Mosaic
     # than fori_loop + dynamic VMEM slicing.  Each chunk is predicated on
@@ -269,6 +268,14 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         @pl.when(run)
         def _(c=c):
             chunk_body(c)
+
+        # Skipped chunks zero their own scratch slice (cheaper than
+        # zeroing the whole (R, K) scratch up front: fully-running tiles
+        # pay no zero stores at all).
+        @pl.when(jnp.logical_not(run))
+        def _(c=c):
+            w_ref[:, c * K_CHUNK:(c + 1) * K_CHUNK] = \
+                jnp.zeros((r, K_CHUNK), jnp.float32)
 
     # Post-loop, UNpredicated: full-K channel contractions of the weight
     # scratch (skipped chunks contribute exact zeros).
