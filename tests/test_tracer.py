@@ -543,3 +543,30 @@ class TestTailRetrace:
                                    np.asarray(r1["depth"]), atol=1e-4)
         np.testing.assert_allclose(np.asarray(s2["depth"]),
                                    np.asarray(r2["depth"]), atol=1e-4)
+class TestResolveEngine:
+    """TraceConfig.resolve_engine routing rules."""
+
+    def _cfg(self, **kw):
+        tile_kw = {k: kw.pop(k) for k in ("max_per_tile",) if k in kw}
+        tile = binning.TileConfig(tile_h=16, tile_w=128,
+                                  **(tile_kw or {"max_per_tile": 128}))
+        return tracer.TraceConfig(tile=tile, **kw)
+
+    def test_explicit_jax(self):
+        assert self._cfg(engine="jax").resolve_engine(16, 256, None) == "jax"
+
+    def test_explicit_pallas_honored_off_tpu(self):
+        # CI runs on CPU: explicit pallas routes to the interpreter.
+        cfg = self._cfg(engine="pallas")
+        assert cfg.resolve_engine(16, 256, None) == "pallas"
+
+    def test_explicit_pallas_shape_check(self):
+        cfg = self._cfg(engine="pallas", max_per_tile=100)
+        with pytest.raises(ValueError):
+            cfg.resolve_engine(16, 256, None)
+
+    def test_auto_off_tpu_is_jax(self):
+        if jax.default_backend() == "tpu":
+            pytest.skip("auto resolves to pallas on TPU")
+        cfg = self._cfg(engine="auto")
+        assert cfg.resolve_engine(16, 256, None) == "jax"
