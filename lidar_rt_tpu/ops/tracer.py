@@ -214,12 +214,15 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     from lidar_rt_tpu.core import quaternions as quat_lib
 
     if cfg.tail_passes > 0:
-        if assignment is not None:
-            raise ValueError("tail_passes re-bins per pass; a precomputed "
-                             "assignment cannot be combined with it")
+        if assignment is not None and not isinstance(assignment,
+                                                     (list, tuple)):
+            raise ValueError(
+                "tail_passes composites one assignment per pass: pass a "
+                "sequence of tail_passes + 1 TileAssignments (e.g. the "
+                "trainer's cached chain) or None to re-bin per pass")
         return _trace_tail(bundle, grid, width, sensor2world, background,
                            active_sh_degree, cfg, col_offset, render_width,
-                           min_depth, init_trans)
+                           min_depth, init_trans, assignments=assignment)
 
     if cfg.resolve_engine(grid.height, width, render_width) == "pallas":
         from lidar_rt_tpu.ops import pallas_tracer
@@ -355,12 +358,43 @@ def _tile_range_cutoff(assignment: TileAssignment, means: Array,
     return jnp.where(assignment.truncated > 0, kth, jnp.inf)
 
 
+def bin_tail_chain(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
+                   width: int, world2sensor: Array, tile: TileConfig,
+                   passes: int, col_offset: int = 0,
+                   num_cols: int | None = None) -> list[TileAssignment]:
+    """Bin the tail re-trace chain: passes + 1 disjoint assignments, each
+    strictly past the previous pass's per-tile K-th candidate range.
+
+    All inputs are treated stop-gradient (binning is the visibility
+    oracle).  The chain is what `trace(cfg.tail_passes=p,
+    assignment=chain)` consumes — e.g. cached across training steps by
+    the trainer's rebin-interval amortization.
+    """
+    sg = jax.lax.stop_gradient
+    w2s = sg(world2sensor)
+    chain = []
+    min_range = None
+    for p in range(passes + 1):
+        a = bin_surfels(grid, width, w2s, sg(bundle.means),
+                        sg(bundle.scales), sg(bundle.opacities), tile,
+                        col_offset=col_offset, num_cols=num_cols,
+                        rotations=sg(bundle.rotations),
+                        min_range=min_range)
+        chain.append(a)
+        if p < passes:
+            cutoff = _tile_range_cutoff(a, sg(bundle.means), w2s)
+            min_range = jnp.maximum(cutoff, min_range) \
+                if min_range is not None else cutoff
+    return chain
+
+
 def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
                 sensor2world: Array, background: Array,
                 active_sh_degree: Array | int, cfg: TraceConfig,
                 col_offset: int, render_width: int | None,
                 min_depth: Array | None,
-                init_trans: Array | None) -> RenderOutputs:
+                init_trans: Array | None,
+                assignments=None) -> RenderOutputs:
     """Unbounded-hit tail: chain cfg.tail_passes re-binned passes.
 
     The reference traces 16-hit chunks and re-launches from the last depth
@@ -382,6 +416,11 @@ def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     Gradients flow through every pass, including the carried raw
     transmittance (the pallas custom_vjp produces dL/d(init_trans) and
     the kernel backward the per-hit -g_raw*raw/(1-alpha) term).
+
+    assignments: optional precomputed chain of tail_passes + 1
+    TileAssignments (built with the same min_range cutoffs — see
+    bin_tail_chain); skips the per-pass binning entirely.  This is how
+    the trainer's rebin-interval amortization extends to tail training.
     """
     from dataclasses import replace
 
@@ -393,12 +432,19 @@ def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
     min_range = None
     chans = None
     accum = None
-    for _ in range(cfg.tail_passes + 1):
-        assignment = bin_surfels(
-            grid, width, w2s, sg(bundle.means), sg(bundle.scales),
-            sg(bundle.opacities), cfg.tile, col_offset=col_offset,
-            num_cols=render_width,
-            rotations=sg(bundle.rotations), min_range=min_range)
+    if assignments is not None and len(assignments) != cfg.tail_passes + 1:
+        raise ValueError(
+            f"assignments chain has {len(assignments)} entries for "
+            f"{cfg.tail_passes} tail passes (need tail_passes + 1)")
+    for p in range(cfg.tail_passes + 1):
+        if assignments is not None:
+            assignment = assignments[p]
+        else:
+            assignment = bin_surfels(
+                grid, width, w2s, sg(bundle.means), sg(bundle.scales),
+                sg(bundle.opacities), cfg.tile, col_offset=col_offset,
+                num_cols=render_width,
+                rotations=sg(bundle.rotations), min_range=min_range)
         out = trace(bundle, grid, width, sensor2world, zero_bg,
                     active_sh_degree, cfg0, assignment=assignment,
                     col_offset=col_offset, render_width=render_width,
@@ -409,9 +455,10 @@ def _trace_tail(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
             chans = chans + out.channels[..., 0:8]
             accum = accum + out.accum_weights
         t0_carry = out.raw_trans
-        cutoff = _tile_range_cutoff(assignment, sg(bundle.means), w2s)
-        min_range = jnp.maximum(cutoff, min_range) \
-            if min_range is not None else cutoff
+        if assignments is None and p < cfg.tail_passes:
+            cutoff = _tile_range_cutoff(assignment, sg(bundle.means), w2s)
+            min_range = jnp.maximum(cutoff, min_range) \
+                if min_range is not None else cutoff
 
     t0_img = (jnp.ones_like(chans[..., 4]) if init_trans is None
               else init_trans)

@@ -32,7 +32,7 @@ import optax
 from lidar_rt_tpu.core import transforms
 from lidar_rt_tpu.data.frames import LiDARFrames
 from lidar_rt_tpu.ops import tracer as tracer_lib
-from lidar_rt_tpu.ops.binning import TileAssignment, TileConfig, bin_surfels
+from lidar_rt_tpu.ops.binning import TileAssignment, TileConfig
 from lidar_rt_tpu.scene import Scene, compose, split_by_asset
 from lidar_rt_tpu.train import density, losses, optim
 
@@ -61,17 +61,23 @@ class BinCache(NamedTuple):
     (TileConfig.pad_px) stays a superset of the true candidate set for many
     steps.  `age[f]` counts renders since frame f was last binned; densify /
     opacity-reset / capacity events invalidate the whole cache.
+
+    P (= tail_passes + 1) caches the whole tail re-trace chain per frame:
+    pass p's assignment is binned strictly past pass p-1's per-tile K-th
+    candidate range, so the cached chains stay disjoint by construction
+    (ops/tracer.bin_tail_chain).
     """
 
-    index: Array   # (F, T, K) int32
-    valid: Array   # (F, T, K) bool
+    index: Array   # (F, P, T, K) int32
+    valid: Array   # (F, P, T, K) bool
     age: Array     # (F,) int32
 
     @staticmethod
-    def stale(num_frames: int, t_total: int, k: int) -> "BinCache":
+    def stale(num_frames: int, t_total: int, k: int,
+              passes: int = 1) -> "BinCache":
         return BinCache(
-            index=jnp.zeros((num_frames, t_total, k), jnp.int32),
-            valid=jnp.zeros((num_frames, t_total, k), bool),
+            index=jnp.zeros((num_frames, passes, t_total, k), jnp.int32),
+            valid=jnp.zeros((num_frames, passes, t_total, k), bool),
             age=jnp.full((num_frames,), jnp.iinfo(jnp.int32).max // 2,
                          jnp.int32))
 
@@ -135,7 +141,9 @@ def make_train_step(frames: LiDARFrames, args,
     grid, width = frames.grid, frames.width
 
     def loss_fn(params_bg, params_ac, probe, batch: FrameBatch, scene: Scene,
-                assignment: TileAssignment | None = None):
+                assignment=None):
+        # assignment: None, a TileAssignment, or (tail training) a list of
+        # tail_passes + 1 of them — passed through to the tracer.
         bg = scene.background.with_params(params_bg)
         sc = dataclasses.replace(scene, background=bg)
         if params_ac is not None:
@@ -180,32 +188,45 @@ def make_train_step(frames: LiDARFrames, args,
     bin_tile = dataclasses.replace(trace_cfg.tile,
                                    pad_px=max(trace_cfg.tile.pad_px, 2.0))
 
-    def _assignment_from_cache(state: TrainState, batch: FrameBatch
-                               ) -> tuple[TileAssignment, BinCache]:
+    tail = int(trace_cfg.tail_passes)
+    n_passes = tail + 1
+
+    def _assignment_from_cache(state: TrainState, batch: FrameBatch):
+        """Cached tail-chain assignments: (list of) TileAssignment.
+
+        With tail_passes > 0 the whole disjoint chain is binned together
+        on stale frames (ops/tracer.bin_tail_chain) and reused otherwise
+        — tail training costs no extra binning on cache hits, and the
+        later passes' mostly-empty tiles skip all their kernel chunks.
+        """
         f = batch.frame
         bins = state.bins
         stale = bins.age[f] >= rebin_every
 
         def fresh():
             bundle, _ = compose(state.scene, f)
-            sg = jax.lax.stop_gradient
-            a = bin_surfels(
-                grid, width,
-                sg(transforms.invert_se3(batch.sensor2world)),
-                sg(bundle.means), sg(bundle.scales), sg(bundle.opacities),
-                bin_tile, rotations=sg(bundle.rotations))
-            return a.index.astype(jnp.int32), a.valid
+            chain = tracer_lib.bin_tail_chain(
+                bundle, grid, width,
+                transforms.invert_se3(batch.sensor2world),
+                bin_tile, tail)
+            return (jnp.stack([a.index.astype(jnp.int32) for a in chain]),
+                    jnp.stack([a.valid for a in chain]))
 
         idx, val = jax.lax.cond(
             stale, fresh, lambda: (bins.index[f], bins.valid[f]))
-        t_total = idx.shape[0]
+        t_total = idx.shape[1]
         new_bins = BinCache(
             index=bins.index.at[f].set(idx),
             valid=bins.valid.at[f].set(val),
             age=bins.age.at[f].set(jnp.where(stale, 1, bins.age[f] + 1)))
-        assignment = TileAssignment(
-            index=idx, valid=val,
-            truncated=jnp.zeros((t_total,), jnp.int32))
+
+        def mk(p):
+            return TileAssignment(
+                index=idx[p], valid=val[p],
+                truncated=jnp.zeros((t_total,), jnp.int32))
+
+        assignment = mk(0) if n_passes == 1 else [mk(p)
+                                                  for p in range(n_passes)]
         return assignment, new_bins
 
     @jax.jit
@@ -330,12 +351,6 @@ class Trainer:
         self.args = args
         self.trace_cfg = trace_cfg or tracer_lib.TraceConfig(
             tile=TileConfig(tile_h=32, tile_w=128, max_per_tile=512))
-        if self.trace_cfg.tail_passes:
-            # Tail re-tracing is an eval/render knob: it re-bins per pass,
-            # which is incompatible with (and pointless next to) the
-            # trainer's cached-assignment amortization.
-            self.trace_cfg = dataclasses.replace(self.trace_cfg,
-                                                 tail_passes=0)
         seed = int(args.get("seed", 1)) if seed is None else seed
         random.seed(seed)
         np.random.seed(seed)
@@ -369,7 +384,8 @@ class Trainer:
         tiles_y, tiles_x = cfg.tile.num_tiles(self.frames.height,
                                               self.frames.width)
         return BinCache.stale(self.frames.num_frames, tiles_y * tiles_x,
-                              cfg.tile.max_per_tile)
+                              cfg.tile.max_per_tile,
+                              passes=cfg.tail_passes + 1)
 
     def _invalidate_bins(self) -> None:
         """Mark every cached assignment stale (the surfel set changed:

@@ -570,3 +570,36 @@ class TestResolveEngine:
             pytest.skip("auto resolves to pallas on TPU")
         cfg = self._cfg(engine="auto")
         assert cfg.resolve_engine(16, 256, None) == "jax"
+
+
+class TestTailChainAssignments:
+    def test_precomputed_chain_matches_rebinning(self):
+        """trace(assignment=bin_tail_chain(...)) must equal the
+        re-binning tail path (the trainer's cached-chain contract)."""
+        from lidar_rt_tpu.core import transforms
+        b = _random_bundle(140, seed=5, spread=4.0,
+                           opacity_range=(0.2, 0.6))
+        tile = binning.TileConfig(tile_h=32, tile_w=128, max_per_tile=32)
+        cfg = tracer.TraceConfig(tile=tile, engine="jax",
+                                 exact_order=False, tail_passes=2)
+        ref = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
+        chain = tracer.bin_tail_chain(
+            b, GRID, WIDTH, transforms.invert_se3(S2W), tile, passes=2)
+        out = tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg,
+                           assignment=chain)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(ref.channels), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.accum_weights),
+                                   np.asarray(ref.accum_weights),
+                                   atol=1e-6)
+
+    def test_chain_length_mismatch_raises(self):
+        from lidar_rt_tpu.core import transforms
+        b = _random_bundle(40, seed=1)
+        tile = binning.TileConfig(tile_h=32, tile_w=128, max_per_tile=32)
+        cfg = tracer.TraceConfig(tile=tile, engine="jax", tail_passes=2)
+        chain = tracer.bin_tail_chain(
+            b, GRID, WIDTH, transforms.invert_se3(S2W), tile, passes=1)
+        with pytest.raises(ValueError):
+            tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg,
+                         assignment=chain)

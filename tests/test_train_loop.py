@@ -314,3 +314,59 @@ class TestRebinAmortization:
         ages = np.asarray(trainer.state.bins.age)
         fresh = ages[ages < 10 ** 6]
         assert fresh.size == 0 or fresh.max() <= 25
+
+
+class TestTailTraining:
+    """tail_passes in the trainer: the cached chain (BinCache P dim)
+    renders the same loss as fresh per-pass re-binning."""
+
+    def _trainer(self, rebin_interval, tail):
+        frames, track = synthetic.generate(num_frames=2, height=16,
+                                           width=128)
+        args = _small_args()
+        d = args.to_dict()
+        d["opt"].update(rebin_interval=rebin_interval,
+                        densify_from_iter=10_000, densify_until_iter=0,
+                        opacity_reset_interval=10_000,
+                        sh_increase_interval=10_000)
+        from lidar_rt_tpu.config import Args
+        args = Args(d)
+        scene = build.assemble_scene(frames, [track], args,
+                                     capacity_headroom=1.5)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=64, max_per_tile=32),
+            tile_batch=2, tail_passes=tail)
+        return loop.Trainer(scene, frames, args, cfg), frames
+
+    def test_cached_chain_matches_fresh(self):
+        """Step losses with a cached tail chain == a rebin-every-step
+        trainer on the identical state (same frame, fresh caches)."""
+        tr_a, frames = self._trainer(rebin_interval=5, tail=1)
+        tr_b, _ = self._trainer(rebin_interval=1, tail=1)
+        batch = loop.frame_batch(frames, 0)
+        sa, ma = tr_a.step_fn(tr_a.state, batch)
+        sb, mb = tr_b.step_fn(tr_b.state, batch)
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                   rtol=1e-6)
+        # second step: A uses the cached chain, B re-bins with the moved
+        # params — small candidate-set drift is the amortization
+        # approximation, so losses agree only approximately
+        sa2, ma2 = tr_a.step_fn(sa, batch)
+        sb2, mb2 = tr_b.step_fn(sb, batch)
+        assert int(sa2.bins.age[0]) == 2          # A: cache hit
+        assert int(sb2.bins.age[0]) == 1          # B: re-binned
+        np.testing.assert_allclose(float(ma2["loss"]), float(mb2["loss"]),
+                                   rtol=5e-2)
+
+    def test_tail_cache_shapes(self):
+        tr, _ = self._trainer(rebin_interval=3, tail=2)
+        assert tr.state.bins.index.shape[1] == 3   # P = tail + 1
+        batch = loop.frame_batch(tr.frames, 0)
+        s1, m = tr.step_fn(tr.state, batch)
+        assert np.isfinite(float(m["loss"]))
+        # later passes exist and are disjoint from pass 1 where valid
+        v = np.asarray(s1.bins.valid[0])
+        i = np.asarray(s1.bins.index[0])
+        p0 = set(i[0][v[0]].tolist())
+        p1 = set(i[1][v[1]].tolist())
+        assert not (p0 & p1)
