@@ -39,10 +39,21 @@ _T4K128 = TileConfig(tile_h=4, tile_w=128, max_per_tile=128, binner="hier",
 _T2K128 = TileConfig(tile_h=2, tile_w=128, max_per_tile=128, binner="hier",
                      approx_topk=True, pad_px=2.0)
 CONFIGS = [
-    ("8x128 K=256 rebin1 (r2 flagship)", _T8K256, None, {}, 512),
-    ("8x128 K=256 rebin10", _T8K256, None, {"rebin_interval": 10}, 512),
-    ("4x128 K=128 rebin10", _T4K128, None, {"rebin_interval": 10}, 512),
-    ("2x128 K=128 rebin10", _T2K128, None, {"rebin_interval": 10}, 256),
+    # (name, steady tile, warmup tile, opt overrides, ray_block, tail)
+    ("8x128 K=256 rebin1 (r2 flagship)", _T8K256, None, {}, 512, 0),
+    ("8x128 K=256 rebin10", _T8K256, None, {"rebin_interval": 10}, 512, 0),
+    ("4x128 K=128 rebin10", _T4K128, None, {"rebin_interval": 10}, 512, 0),
+    ("2x128 K=128 rebin10", _T2K128, None, {"rebin_interval": 10}, 256, 0),
+    # Tail training: small-K fine tiles + one cached tail pass — the
+    # candidate-budget reduction candidate (see PERF_NOTES).  K=128
+    # truncation cost ~2x median depth without the tail; the tail pass
+    # composites the truncated remainder from the cached chain.
+    ("4x128 K=128 rebin10 tail1", _T4K128, None,
+     {"rebin_interval": 10}, 512, 1),
+    ("8x128 K=128 rebin10 tail1",
+     TileConfig(tile_h=8, tile_w=128, max_per_tile=128, binner="hier",
+                approx_topk=True, pad_px=2.0), None,
+     {"rebin_interval": 10}, 512, 1),
 ]
 
 
@@ -63,7 +74,8 @@ def masked_eval(out, frames, f):
     }
 
 
-def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512):
+def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512,
+        tail_passes=0):
     # Scene assembly consumes the global numpy RNG; seed it per run so
     # every config trains on the SAME initial scene (otherwise batch
     # position confounds the comparison).
@@ -80,7 +92,8 @@ def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512):
     scene = build.assemble_scene(frames, [track], args,
                                  capacity_headroom=2.0)
     cfg = tracer_lib.TraceConfig(tile=tile, exact_order=False,
-                                 ray_block=ray_block)
+                                 ray_block=ray_block,
+                                 tail_passes=tail_passes)
     wcfg = None if warmup_tile is None else tracer_lib.TraceConfig(
         tile=warmup_tile, exact_order=False, ray_block=ray_block)
     trainer = loop.Trainer(scene, frames, args, cfg, warmup_cfg=wcfg)
@@ -98,5 +111,5 @@ def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512):
 
 
 if __name__ == "__main__":
-    for name, tile, warm, opt_over, rb in CONFIGS:
-        run(name, tile, warm, opt_over, rb)
+    for name, tile, warm, opt_over, rb, tail in CONFIGS:
+        run(name, tile, warm, opt_over, rb, tail_passes=tail)
