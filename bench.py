@@ -81,11 +81,16 @@ def main() -> None:
     # (4k-iter synthetic training: depth_med 0.055 m, hit acc 0.978 —
     # better than the round-1 config at 1.5x its speed): hierarchical
     # binner with TPU-native approximate top-k, 8-row tiles, K=256.
+    # fast_math: channel/gradient MXU contractions at 1-pass bf16 — the
+    # reference composites at full CUDA fp32 speed (forward.cu:240-272);
+    # gated by scripts/tpu_parity.py --fast (round 3: PASS, chan err
+    # 3.1e-3, grad cosines >= 0.9996) and the escalating hang probe
+    # (scripts/fast_math_probe.sh: PASS all sizes post MXU-hoist).
     cfg = tracer_lib.TraceConfig(
         tile=TileConfig(tile_h=8, tile_w=128, max_per_tile=256,
                         binner="hier", approx_topk=True,
                         pad_px=REBIN_PAD_PX),
-        exact_order=False, ray_block=512)
+        exact_order=False, ray_block=512, fast_math=True)
 
     from lidar_rt_tpu.core import transforms
     from lidar_rt_tpu.ops.binning import TileAssignment, bin_surfels

@@ -195,8 +195,20 @@ class EvalRunner:
             agg[group] = {}
             for k in keys:
                 vals = [per_frame[f][group][k] for f in frames_with]
-                vals = [v for v in vals if np.isfinite(v)]
-                agg[group][k] = float(np.mean(vals)) if vals else float("nan")
+                finite = [v for v in vals if np.isfinite(v)]
+                if not finite and vals:
+                    # Loudly flag an all-nan metric column instead of
+                    # letting a nan mean look like a complete table — the
+                    # common case is LPIPS without a weights file
+                    # ($LIDAR_RT_LPIPS_WEIGHTS, see eval/lpips.py; the
+                    # reference always reports LPIPS, eval.py:75).
+                    print(f"WARNING: metric {group}/{k} is nan on every "
+                          "frame" + (" — LPIPS weights not loaded? set "
+                                     "$LIDAR_RT_LPIPS_WEIGHTS (see "
+                                     "lidar_rt_tpu/eval/lpips.py)"
+                                     if "lpips" in k else ""))
+                agg[group][k] = (float(np.mean(finite)) if finite
+                                 else float("nan"))
 
         results = {"eval_type": eval_type, "num_frames": len(frame_ids),
                    "mean": agg,

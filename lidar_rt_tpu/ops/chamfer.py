@@ -55,7 +55,10 @@ def min_sq_dists(a: Array, a_mask: Array, b: Array, b_mask: Array,
         d2 = jnp.where(mask_chunk[None, :], jnp.maximum(d2, 0.0), _BIG)
         return jnp.minimum(best, jnp.min(d2, axis=-1)), None
 
-    init = jnp.full((a.shape[0],), _BIG, a.dtype)
+    # 0*a[:,0] keeps the carry's varying-axes type equal to the scanned
+    # operands' under shard_map (a plain jnp.full carry is "unvarying" and
+    # lax.scan rejects the mismatch when chamfer runs inside a mesh band).
+    init = jnp.full((a.shape[0],), _BIG, a.dtype) + 0.0 * a[:, 0]
     best, _ = jax.lax.scan(body, init, (b, b_mask))
     return jnp.where(a_mask & (best < _BIG), best, 0.0)
 

@@ -64,17 +64,18 @@ class PallasTraceConfig:
     tile: TileConfig = TileConfig(tile_h=32, tile_w=128, max_per_tile=512)
     ray_block: int = 512
     exact_order: bool = False
-    # EXPERIMENTAL.  fast_math relaxes the CHANNEL/GRADIENT MXU
-    # contractions from HIGHEST (6-pass bf16 decomposition, ~f32-exact)
-    # to DEFAULT (1-pass bf16 inputs): in the forward kernel microbench
-    # this is ~1.7x kernel time at ~4e-3 absolute channel deviation.
-    # CAVEAT: the first full fwd+bwd run on a real v5e chip never
-    # completed (device-side hang in the Mosaic-compiled backward;
-    # under investigation) — do NOT enable in production until the
-    # on-chip parity gate passes with it.  The INTERSECTION products
-    # (qd/b_u/b_v) are never relaxed — they run as exact-f32 VPU
-    # broadcast arithmetic regardless (bf16 rounding there costs meters
-    # of depth at grazing incidence).
+    # fast_math relaxes the CHANNEL/GRADIENT MXU contractions from
+    # HIGHEST (6-pass bf16 decomposition, ~f32-exact) to DEFAULT (1-pass
+    # bf16 inputs).  Gated on-chip round 3 (PARITY_r03.json): the
+    # escalating hang probe (scripts/fast_math_probe.sh) passes all sizes
+    # on the hoisted-MXU kernel structure — the round-2 device hang was
+    # the predicated-MXU lowering, removed by construction — and
+    # scripts/tpu_parity.py --fast reports channel err 3.1e-3 with grad
+    # cosines >= 0.9996 vs the f32 jax engine.  Measured full-step gain
+    # ~1.2x (fwd kernel 4.7 -> 4.0 ms, bwd 5.2 -> 4.1 ms at the flagship
+    # config).  The INTERSECTION products (qd/b_u/b_v) are never relaxed
+    # — they run as exact-f32 VPU broadcast arithmetic regardless (bf16
+    # rounding there costs meters of depth at grazing incidence).
     fast_math: bool = False
 
     def __post_init__(self):

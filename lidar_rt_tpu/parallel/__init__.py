@@ -18,3 +18,7 @@ replicated; no tensor/pipeline sharding is needed (and none would pay off).
 
 from lidar_rt_tpu.parallel.sharding import (  # noqa: F401
     make_mesh, trace_ray_sharded)
+from lidar_rt_tpu.parallel.train_step import (  # noqa: F401
+    make_sharded_bin_fn, make_sharded_loss_fn, make_sharded_train_step,
+    stack_batches)
+from lidar_rt_tpu.parallel.trainer import ShardedTrainer  # noqa: F401

@@ -357,16 +357,12 @@ class Trainer:
         self.rebin_every = int(getattr(args.opt, "rebin_interval", 0))
         self.state, self.opt_bg, self.opt_ac = init_train_state(
             scene, args.opt, seed)
-        self._main_step = make_train_step(frames, args, self.trace_cfg,
-                                          self.opt_bg, self.opt_ac,
-                                          self.rebin_every)
+        self._main_step = self._make_step(self.trace_cfg)
         self.warmup_until = 0
         if warmup_cfg is not None:
             self.warmup_until = (int(args.opt.densify_until_iter)
                                  if warmup_until is None else warmup_until)
-            self._warmup_step = make_train_step(
-                frames, args, warmup_cfg, self.opt_bg, self.opt_ac,
-                self.rebin_every)
+            self._warmup_step = self._make_step(warmup_cfg)
             self._warmup_cfg = warmup_cfg
         self.step_fn = (self._warmup_step if self.warmup_until
                         else self._main_step)
@@ -377,8 +373,26 @@ class Trainer:
         self._frame_stack: list[int] = []
         self.iteration = 0
         self.history: list[dict] = []
+        # Device-side stacked metrics awaiting host transfer: list of
+        # (first_iteration, stacked dict).  Fetching is deferred to log
+        # events so chunked dispatches keep pipelining asynchronously
+        # (a per-chunk float() would sync at every chunk boundary).
+        self._pending_metrics: list[tuple[int, dict]] = []
         self.densify_log: list[dict] = []  # per-pass counts (train.py:450+)
         self.snapshot_dir: str | None = None  # set to enable NaN dumps
+
+    def _make_step(self, cfg: tracer_lib.TraceConfig):
+        """Build the jitted step for one trace config.  Subclass hook: the
+        multi-chip trainer (parallel/trainer.py) swaps in the sharded
+        step while reusing this class's whole schedule."""
+        return make_train_step(self.frames, self.args, cfg, self.opt_bg,
+                               self.opt_ac, self.rebin_every)
+
+    def _sample_ids(self, n: int) -> Array:
+        """Frame ids for n consecutive iterations: (n,) int32.  Subclass
+        hook: the multi-chip trainer returns (n, dp) batches."""
+        return jnp.asarray([self._next_frame() for _ in range(n)],
+                           jnp.int32)
 
     def _fresh_bins(self, cfg: tracer_lib.TraceConfig) -> BinCache:
         tiles_y, tiles_x = cfg.tile.num_tiles(self.frames.height,
@@ -442,10 +456,9 @@ class Trainer:
                 if self._step_n is None:
                     self._step_n = make_train_step_n(self.frames,
                                                      self.step_fn)
-                ids = jnp.asarray([self._next_frame()
-                                   for _ in range(self.CHUNK)], jnp.int32)
+                ids = self._sample_ids(self.CHUNK)
                 self.state, m_stack = self._step_n(self.state, ids)
-                metrics = jax.tree.map(lambda x: x[-1], m_stack)
+                self._pending_metrics.append((self.iteration + 1, m_stack))
                 self.iteration += self.CHUNK
                 local += self.CHUNK
                 continue
@@ -471,9 +484,9 @@ class Trainer:
             # keeps dispatch cost flat near schedule events.
             if self._step_n is None:
                 self._step_n = make_train_step_n(self.frames, self.step_fn)
-            ids1 = jnp.asarray([self._next_frame()], jnp.int32)
+            ids1 = self._sample_ids(1)
             self.state, m_stack = self._step_n(self.state, ids1)
-            metrics = jax.tree.map(lambda x: x[-1], m_stack)
+            self._pending_metrics.append((it, m_stack))
 
             if it < int(opt_cfg.densify_until_iter):
                 if (it > int(opt_cfg.densify_from_iter)
@@ -483,7 +496,9 @@ class Trainer:
                     self._reset_opacity()
 
             if it % log_every == 0 or local == total:
-                m = {k: float(v) for k, v in metrics.items()}
+                self._flush_metrics()
+                m = {k: v for k, v in self.history[-1].items()
+                     if k != "iteration"}
                 # failure detection: snapshot + raise on non-finite loss
                 # (the reference's snapshot_fw.dump equivalent)
                 if self.snapshot_dir is not None:
@@ -492,11 +507,27 @@ class Trainer:
                         m, self.state,
                         f"{self.snapshot_dir}/snapshot_it{it}.npz",
                         context=f"iteration {it}")
-                m.update(iteration=it,
-                         alive=int(self.state.scene.background.num_alive),
-                         elapsed=time.time() - t0)
-                self.history.append(m)
+                self.history[-1].update(
+                    alive=int(self.state.scene.background.num_alive),
+                    elapsed=time.time() - t0)
+        self._flush_metrics()
         return self.history
+
+    def _flush_metrics(self) -> None:
+        """Move pending device-side metric stacks into `history`.
+
+        Every training iteration gets its own entry (the reference records
+        each iteration, train.py:263-269); chunked dispatches already
+        compute the per-step stack device-side, so this is one transfer per
+        chunk, deferred to log events to keep dispatches pipelined."""
+        for start, m_stack in self._pending_metrics:
+            host = jax.device_get(m_stack)
+            n = len(next(iter(host.values())))
+            for j in range(n):
+                entry = {k: float(v[j]) for k, v in host.items()}
+                entry["iteration"] = start + j
+                self.history.append(entry)
+        self._pending_metrics.clear()
 
     def _densify(self, it: int) -> None:
         opt_cfg = self.args.opt

@@ -30,11 +30,13 @@ from lidar_rt_tpu.ops.binning import TileConfig, bin_surfels  # noqa: E402
 H, W = bench.H, bench.W
 ITERS = 20
 
+FAST = "--fast" in sys.argv
 TILE = TileConfig(tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
                   approx_topk=True)
-CFG = tracer_lib.TraceConfig(tile=TILE, exact_order=False, ray_block=512)
+CFG = tracer_lib.TraceConfig(tile=TILE, exact_order=False, ray_block=512,
+                             fast_math=FAST)
 PCFG = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512,
-                                       exact_order=False)
+                                       exact_order=False, fast_math=FAST)
 
 
 def timed_scan(stage_fn, bundle, label):

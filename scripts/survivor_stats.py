@@ -1,0 +1,154 @@
+"""Per-ray survivor statistics on the bench street scene.
+
+Measures, for the flagship tile config, how many of each ray's K tile
+candidates actually matter:
+
+  n_alpha — pairs passing every alpha gate (alpha >= ALPHA_MIN, t >= DEPTH_MIN,
+            valid plane) — the pairs that contribute weight or gradient at all
+  n_live  — pairs with nonzero composited weight under depth-ordered
+            front-to-back compositing (reference forward.cu:240-257 semantics)
+
+These are the design inputs for per-ray survivor compaction in the pallas
+kernel: the per-pair alpha math is unavoidable (it IS the visibility test),
+but the scan / channel / backward work only matters for surviving pairs —
+if p99(n_alpha) << K, sorting survivors to the front (the existing bitonic
+machinery) and compositing a compacted candidate axis cuts that work by
+K / K_surv.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/survivor_stats.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench  # noqa: E402
+from lidar_rt_tpu.core import quaternions as quat_lib  # noqa: E402
+from lidar_rt_tpu.core import rays as rays_lib  # noqa: E402
+from lidar_rt_tpu.core import transforms  # noqa: E402
+from lidar_rt_tpu.ops import geometry  # noqa: E402
+from lidar_rt_tpu.ops.binning import TileConfig, bin_surfels  # noqa: E402
+
+H, W = bench.H, bench.W
+TILE = TileConfig(tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
+                  approx_topk=True)
+
+
+def main() -> None:
+    grid = rays_lib.SensorGrid.from_bounds(H, (-0.31, 0.04),
+                                           pixel_offset=0.5)
+    s2w = jnp.eye(4).at[2, 3].set(2.0)
+    bundle = bench.street_scene_bundle(bench.N_SURFELS)
+    w2s = transforms.invert_se3(s2w)
+    k = TILE.max_per_tile
+    th, tw = TILE.tile_h, TILE.tile_w
+    tiles_y, tiles_x = TILE.num_tiles(H, W)
+    t_total = tiles_y * tiles_x
+    n = bundle.means.shape[0]
+
+    @jax.jit
+    def stats(bundle):
+        a = bin_surfels(grid, W, w2s, bundle.means, bundle.scales,
+                        bundle.opacities, TILE, rotations=bundle.rotations)
+        origin, dirs = rays_lib.range_rays(grid, W, s2w)
+        row_idx = jnp.clip(jnp.arange(tiles_y * th), 0, H - 1)
+        col_idx = jnp.mod(jnp.arange(tiles_x * tw), W)
+        dirs_t = (dirs[row_idx][:, col_idx]
+                  .reshape(tiles_y, th, tiles_x, tw, 3)
+                  .transpose(0, 2, 1, 3, 4)
+                  .reshape(t_total, th * tw, 3))
+        rot = quat_lib.to_rotation_matrix(bundle.rotations)
+        frames = geometry.build_frames(bundle.means, rot, origin)
+        idx_c = jnp.clip(a.index, 0, n - 1)
+
+        def tile_fn(args):
+            dirs_tile, idx, valid = args
+            hp = jax.lax.Precision.HIGHEST
+            axes = jnp.stack([frames.n[idx], frames.w1[idx],
+                              frames.w2[idx]], axis=0)
+            prods = jnp.einsum("rc,akc->ark", dirs_tile, axes, precision=hp)
+            qd, b_u, b_v = prods[0], prods[1], prods[2]
+            safe_qd = jnp.where(jnp.abs(qd) > geometry.DENOM_EPS, qd,
+                                geometry.DENOM_EPS)
+            p = frames.p[idx]
+            t = p[None, :] / safe_qd
+            scales_k = bundle.scales[idx]
+            u = (frames.a_u[idx][None, :] + t * b_u) / scales_k[None, :, 0]
+            v = (frames.a_v[idx][None, :] + t * b_v) / scales_k[None, :, 1]
+            g = jnp.exp(-0.5 * (u * u + v * v))
+            alpha_raw = jnp.minimum(geometry.ALPHA_MAX,
+                                    bundle.opacities[idx][None, :] * g)
+            ok = ((t >= geometry.DEPTH_MIN)
+                  & (jnp.abs(qd) > geometry.DENOM_EPS)
+                  & (p[None, :] != 0.0)
+                  & (alpha_raw >= geometry.ALPHA_MIN)
+                  & valid[None, :])
+            alpha = jnp.where(ok, alpha_raw, 0.0)
+            n_alpha = jnp.sum(ok, axis=-1)                       # (R,)
+
+            key = jnp.where(ok, t, jnp.inf)
+            order = jnp.argsort(key, axis=-1)
+            alpha_o = jnp.take_along_axis(alpha, order, axis=-1)
+            t_excl = jnp.cumprod(1.0 - alpha_o, axis=-1) \
+                / jnp.maximum(1.0 - alpha_o, 1e-12)              # exclusive
+            live = (t_excl >= geometry.T_MIN) & (alpha_o > 0.0)
+            n_live = jnp.sum(live, axis=-1)
+            return n_alpha, n_live
+
+        b = 8
+        nb = -(-t_total // b)
+        pad_t = nb * b - t_total
+
+        def pad(x):
+            return jnp.concatenate([x, x[:1].repeat(pad_t, 0)], 0) \
+                if pad_t else x
+
+        xs = (pad(dirs_t).reshape(nb, b, th * tw, 3),
+              pad(idx_c).reshape(nb, b, k),
+              pad(a.valid).reshape(nb, b, k))
+
+        def body(carry, batch):
+            h_alpha, h_live = carry
+            na, nl = jax.vmap(tile_fn)(batch)
+            h_alpha = h_alpha.at[na.reshape(-1)].add(1)
+            h_live = h_live.at[nl.reshape(-1)].add(1)
+            return (h_alpha, h_live), None
+
+        init = (jnp.zeros(k + 1, jnp.int32), jnp.zeros(k + 1, jnp.int32))
+        (h_alpha, h_live), _ = jax.lax.scan(body, init, xs)
+        return h_alpha, h_live
+
+    t0 = time.time()
+    h_alpha, h_live = jax.block_until_ready(stats(bundle))
+    h_alpha = np.asarray(h_alpha, np.float64)
+    h_live = np.asarray(h_live, np.float64)
+    print(f"computed in {time.time() - t0:.1f} s "
+          f"({int(h_alpha.sum())} rays incl. tile padding)")
+
+    def describe(name, h):
+        tot = h.sum()
+        xs = np.arange(len(h))
+        mean = (h * xs).sum() / tot
+        cum = np.cumsum(h) / tot
+        pct = {p: int(np.searchsorted(cum, p / 100.0)) for p in
+               (50, 90, 99, 99.9)}
+        mx = int(xs[h > 0].max()) if (h > 0).any() else 0
+        over = {b: float(h[xs > b].sum() / tot) for b in (32, 64, 128)}
+        print(f"{name}: mean {mean:.1f}  p50 {pct[50]}  p90 {pct[90]}  "
+              f"p99 {pct[99]}  p99.9 {pct[99.9]}  max {mx}")
+        print(f"  fraction of rays over 32/64/128: "
+              f"{over[32]:.4f} / {over[64]:.4f} / {over[128]:.4f}")
+
+    describe("n_alpha (gate-passing pairs/ray)   ", h_alpha)
+    describe("n_live  (depth-ordered live pairs) ", h_live)
+
+
+if __name__ == "__main__":
+    main()

@@ -189,6 +189,127 @@ class TestShardedTrainStep:
             np.testing.assert_allclose(np.asarray(a) / scale,
                                        np.asarray(b) / scale, atol=1e-4)
 
+    def test_cd_term_matches_single_chip(self):
+        """With a trivial mesh (dp=1, rays=1) every band approximation
+        vanishes: the sharded step's full 5-term loss — INCLUDING the
+        Chamfer term (train.py:197-207) — must equal the single-chip
+        step's to float precision."""
+        from lidar_rt_tpu.config import default_experiment, Args
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.parallel.train_step import (
+            make_sharded_train_step, stack_batches)
+        from lidar_rt_tpu.train import loop
+
+        frames, _ = synthetic.generate(num_frames=2, height=16, width=256)
+        d = default_experiment().to_dict()
+        d["opt"].update(lambda_cd=0.01, cd_max_points=512)
+        args = Args(d)
+        scene = build.assemble_scene(frames, None, args,
+                                     capacity_headroom=1.0)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=32, max_per_tile=128),
+            tile_batch=2, engine="jax", exact_order=False)
+
+        state, opt_bg, opt_ac = loop.init_train_state(scene, args.opt)
+        single = loop.make_train_step(frames, args, cfg, opt_bg, opt_ac)
+        _, m_single = single(state, loop.frame_batch(frames, 0))
+
+        mesh = make_mesh(dp=1, rays=1, devices=jax.devices()[:1])
+        state2, opt_bg2, opt_ac2 = loop.init_train_state(scene, args.opt)
+        sharded = make_sharded_train_step(frames, args, cfg, opt_bg2,
+                                          opt_ac2, mesh)
+        _, m_sharded = sharded(state2,
+                               stack_batches([loop.frame_batch(frames, 0)]))
+
+        assert float(m_single["cd"]) > 0  # the term actually fires
+        for k in ("loss", "depth", "intensity", "raydrop", "cd", "reg"):
+            assert float(m_sharded[k]) == pytest.approx(
+                float(m_single[k]), rel=1e-4), k
+
+    def test_sharded_trainer_matches_single_chip_run(self):
+        """dp=1 x rays=8 ShardedTrainer with cached binning reproduces the
+        single-chip Trainer's per-iteration loss trace across a densify
+        event (DSSIM/CD zeroed — the two documented band approximations;
+        everything else, including the BinCache rebin-interval path, must
+        agree)."""
+        from lidar_rt_tpu.config import default_experiment, Args
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.parallel.trainer import ShardedTrainer
+        from lidar_rt_tpu.train import loop
+
+        frames, _ = synthetic.generate(num_frames=2, height=16, width=256)
+        d = default_experiment().to_dict()
+        d["opt"].update(lambda_intensity_dssim=0.0, lambda_cd=0.0,
+                        rebin_interval=3, densify_from_iter=1,
+                        densification_interval=6, densify_until_iter=9,
+                        opacity_reset_interval=1000,
+                        sh_increase_interval=1000)
+        d["model"].update(obj_pt_num=128, voxel_size=0.3)
+        args = Args(d)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=32, max_per_tile=128),
+            tile_batch=2, engine="jax", exact_order=False)
+
+        def run(trainer_cls, **kw):
+            scene = build.assemble_scene(frames, None, args,
+                                         capacity_headroom=1.5)
+            t = trainer_cls(scene, frames, args, trace_cfg=cfg, seed=3,
+                            **kw)
+            t.run(iterations=10, log_every=5)
+            return t
+
+        t_single = run(loop.Trainer)
+        t_shard = run(ShardedTrainer, mesh=make_mesh(dp=1, rays=8))
+
+        assert t_single.densify_log and t_shard.densify_log
+        assert len(t_shard.history) == 10  # per-iteration metrics
+        for h1, h2 in zip(t_single.history, t_shard.history):
+            assert h2["loss"] == pytest.approx(h1["loss"], rel=2e-3), \
+                (h1["iteration"], h1["loss"], h2["loss"])
+
+    def test_sharded_trainer_dp2_tail_warmup(self):
+        """Full feature stack on the mesh: dp=2 x rays=4, cached tail
+        chain (tail_passes=1), warmup-K schedule, densify + opacity reset.
+        Losses stay finite and decrease; dp rows hold distinct frames."""
+        from lidar_rt_tpu.config import default_experiment, Args
+        from lidar_rt_tpu.data import build, synthetic
+        from lidar_rt_tpu.parallel.trainer import ShardedTrainer
+
+        frames, _ = synthetic.generate(num_frames=4, height=16, width=256)
+        d = default_experiment().to_dict()
+        d["opt"].update(lambda_intensity_dssim=0.0, lambda_cd=0.01,
+                        cd_max_points=512, rebin_interval=2,
+                        densify_from_iter=1, densification_interval=5,
+                        densify_until_iter=8, opacity_reset_interval=7,
+                        sh_increase_interval=1000)
+        d["model"].update(obj_pt_num=128, voxel_size=0.3)
+        args = Args(d)
+        scene = build.assemble_scene(frames, None, args,
+                                     capacity_headroom=1.5)
+        cfg = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=32, max_per_tile=64),
+            tile_batch=2, engine="jax", exact_order=False, tail_passes=1)
+        warm = tracer_lib.TraceConfig(
+            tile=TileConfig(tile_h=16, tile_w=32, max_per_tile=128),
+            tile_batch=2, engine="jax", exact_order=False, tail_passes=1)
+
+        t = ShardedTrainer(scene, frames, args, make_mesh(dp=2, rays=4),
+                           trace_cfg=cfg, seed=0, warmup_cfg=warm,
+                           warmup_until=4)
+        ids = t._sample_ids(3)
+        assert ids.shape == (3, 2)
+        assert all(len(set(map(int, row))) == 2 for row in np.asarray(ids))
+
+        hist = t.run(iterations=12, log_every=4)
+        ls = [h["loss"] for h in hist]
+        assert len(ls) == 12 and np.isfinite(ls).all()
+        assert t.densify_log
+        # Optimization makes progress (the 12-iter window contains a
+        # densify AND an opacity reset, which legitimately bump the loss —
+        # exact learning-curve checks live in the single-chip-equivalence
+        # test above).
+        assert min(ls[1:]) < ls[0]
+
     def test_dp2_averages_two_frames(self):
         from lidar_rt_tpu.config import default_experiment, Args
         from lidar_rt_tpu.data import build, synthetic
