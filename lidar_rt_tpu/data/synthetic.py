@@ -41,13 +41,29 @@ class Box:
 @dataclass
 class SyntheticScene:
     """Ground plane at z=0 (albedo ground_albedo) + boxes; an optional
-    moving actor box translating at `actor_velocity` per frame."""
+    moving actor box translating at `actor_velocity` per frame.
+
+    extra_actors/extra_velocities: additional moving actors (the Waymo
+    dynamic configs train multi-actor scenes; the format-true rehearsal
+    generator uses these)."""
 
     walls: list[Box] = field(default_factory=list)
     ground_albedo: float = 0.4
     actor: Box | None = None
     actor_velocity: np.ndarray | None = None
     max_range: float = 80.0
+    extra_actors: list[Box] = field(default_factory=list)
+    extra_velocities: list[np.ndarray] = field(default_factory=list)
+
+    def moving_boxes(self, frame: int) -> list[tuple[Box, np.ndarray]]:
+        """All actor boxes with their frame-`frame` centers."""
+        out = []
+        if self.actor is not None:
+            out.append((self.actor,
+                        self.actor.center + frame * self.actor_velocity))
+        for box, vel in zip(self.extra_actors, self.extra_velocities):
+            out.append((box, box.center + frame * np.asarray(vel)))
+        return out
 
 
 def default_scene(with_actor: bool = True) -> SyntheticScene:
@@ -89,49 +105,78 @@ def _ray_box(origins: np.ndarray, dirs: np.ndarray, box: Box,
     return t, cos_inc
 
 
-def render_frame_gt(scene: SyntheticScene, grid: rays_lib.SensorGrid,
-                    width: int, sensor2world: np.ndarray, frame: int
-                    ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact (range (H, W), intensity (H, W)) for one frame; 0 = no return."""
+def _cast_all(scene: SyntheticScene, grid: rays_lib.SensorGrid, width: int,
+              sensor2world: np.ndarray, frame: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Ray-cast every surface: (t (R, S), intensity (R, S)); misses +inf."""
     origin_j, dirs_j = rays_lib.range_rays(grid, width,
                                            jnp.asarray(sensor2world))
     origin = np.asarray(origin_j)
     dirs = np.asarray(dirs_j).reshape(-1, 3)
-    r = dirs.shape[0]
 
-    best_t = np.full((r,), np.inf, np.float32)
-    best_i = np.zeros((r,), np.float32)
-
+    ts, its = [], []
     # Ground plane z=0.
     dz = dirs[:, 2]
     t_g = np.where(dz < -1e-6, -origin[2] / np.where(np.abs(dz) > 1e-12,
                                                      dz, -1e-12), np.inf)
-    cos_g = np.abs(dz)
-    upd = t_g < best_t
-    best_t = np.where(upd, t_g, best_t)
-    best_i = np.where(upd, scene.ground_albedo * cos_g, best_i)
+    ts.append(t_g)
+    its.append(scene.ground_albedo * np.abs(dz))
 
-    boxes = list(scene.walls)
-    if scene.actor is not None:
-        boxes.append(scene.actor)
-        centers = [b.center for b in scene.walls] + [
-            scene.actor.center + frame * scene.actor_velocity]
-    else:
-        centers = [b.center for b in scene.walls]
-
-    for box, center in zip(boxes, centers):
+    boxes = [(b, b.center) for b in scene.walls] + scene.moving_boxes(frame)
+    for box, center in boxes:
         t, cos_inc = _ray_box(origin, dirs, box, center)
-        upd = t < best_t
-        best_t = np.where(upd, t, best_t)
-        best_i = np.where(upd, box.albedo * np.clip(cos_inc, 0.1, 1.0),
-                          best_i)
+        ts.append(t)
+        its.append(box.albedo * np.clip(cos_inc, 0.1, 1.0))
+    return (np.stack(ts, axis=-1).astype(np.float32),
+            np.stack(its, axis=-1).astype(np.float32))
 
+
+def render_frame_gt(scene: SyntheticScene, grid: rays_lib.SensorGrid,
+                    width: int, sensor2world: np.ndarray, frame: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (range (H, W), intensity (H, W)) for one frame; 0 = no return."""
+    t_all, i_all = _cast_all(scene, grid, width, sensor2world, frame)
+    best = np.argmin(t_all, axis=-1)
+    rr = np.arange(t_all.shape[0])
+    best_t, best_i = t_all[rr, best], i_all[rr, best]
     hit = best_t < scene.max_range
     h = grid.height
     rng_img = np.where(hit, best_t, 0.0).reshape(h, width).astype(np.float32)
     int_img = np.where(hit, np.clip(best_i, 0.0, 1.0),
                        0.0).reshape(h, width).astype(np.float32)
     return rng_img, int_img
+
+
+def render_frame_gt_dual(scene: SyntheticScene, grid: rays_lib.SensorGrid,
+                         width: int, sensor2world: np.ndarray, frame: int,
+                         return_gap: float = 1.0
+                         ) -> tuple[np.ndarray, ...]:
+    """Dual-return ground truth: (r1, i1, r2, i2), each (H, W).
+
+    Return 2 is the nearest surface at least `return_gap` meters past the
+    first (the second laser echo; Waymo's dual-return range images —
+    waymo_loader/__init__.py:92-102 parses both returns).  Rays with no
+    second surface get 0."""
+    t_all, i_all = _cast_all(scene, grid, width, sensor2world, frame)
+    best = np.argmin(t_all, axis=-1)
+    rr = np.arange(t_all.shape[0])
+    best_t, best_i = t_all[rr, best], i_all[rr, best]
+
+    t2_all = np.where(t_all >= best_t[:, None] + return_gap, t_all, np.inf)
+    second = np.argmin(t2_all, axis=-1)
+    t2, i2v = t2_all[rr, second], i_all[rr, second]
+
+    h = grid.height
+
+    def img(t, i):
+        hit = t < scene.max_range
+        return (np.where(hit, t, 0.0).reshape(h, width).astype(np.float32),
+                np.where(hit, np.clip(i, 0.0, 1.0),
+                         0.0).reshape(h, width).astype(np.float32))
+
+    r1, i1 = img(best_t, best_i)
+    r2, i2 = img(t2, i2v)
+    return r1, i1, r2, i2
 
 
 def generate(scene: SyntheticScene | None = None, num_frames: int = 6,

@@ -91,18 +91,24 @@ def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512,
     args = Args(d)
     scene = build.assemble_scene(frames, [track], args,
                                  capacity_headroom=2.0)
+    # fast_math matches the round-3 flagship default (gated by
+    # PARITY_r03.json); this ladder doubles as its training-scale
+    # quality validation.
     cfg = tracer_lib.TraceConfig(tile=tile, exact_order=False,
                                  ray_block=ray_block,
-                                 tail_passes=tail_passes)
+                                 tail_passes=tail_passes, fast_math=True)
     wcfg = None if warmup_tile is None else tracer_lib.TraceConfig(
-        tile=warmup_tile, exact_order=False, ray_block=ray_block)
+        tile=warmup_tile, exact_order=False, ray_block=ray_block,
+        fast_math=True)
     trainer = loop.Trainer(scene, frames, args, cfg, warmup_cfg=wcfg)
     f_eval = frames.eval_frames[0] if frames.eval_frames else 0
 
     t0 = time.perf_counter()
     hist = trainer.run(iterations=ITERS, log_every=max(ITERS // 8, 1))
     dt = time.perf_counter() - t0
-    print("  losses:", ["%.4f" % h["loss"] for h in hist], flush=True)
+    step = max(len(hist) // 8, 1)
+    print("  losses:", ["%.4f" % h["loss"] for h in hist[::step]],
+          flush=True)
     out = trainer.render_eval(f_eval)
     m = masked_eval(jax.tree.map(np.asarray, out), frames, f_eval)
     alive = int(trainer.state.scene.background.num_alive)

@@ -70,6 +70,8 @@ def main() -> None:
 
         def tile_fn(args):
             dirs_tile, idx, valid = args
+            # dirs_tile rows are tile-row-major: reshape (th, tw, 3) later
+            # for per-row unique-candidate counts.
             hp = jax.lax.Precision.HIGHEST
             axes = jnp.stack([frames.n[idx], frames.w1[idx],
                               frames.w2[idx]], axis=0)
@@ -100,7 +102,13 @@ def main() -> None:
                 / jnp.maximum(1.0 - alpha_o, 1e-12)              # exclusive
             live = (t_excl >= geometry.T_MIN) & (alpha_o > 0.0)
             n_live = jnp.sum(live, axis=-1)
-            return n_alpha, n_live
+
+            # Per-ROW unique gate-passing candidates: the K budget a
+            # 1-row-tile kernel would actually need (union over the row's
+            # tw rays of its true alpha gate).
+            ok_rows = ok.reshape(TILE.tile_h, TILE.tile_w, k)
+            n_row_true = jnp.sum(jnp.any(ok_rows, axis=1), axis=-1)  # (th,)
+            return n_alpha, n_live, n_row_true
 
         b = 8
         nb = -(-t_total // b)
@@ -115,20 +123,72 @@ def main() -> None:
               pad(a.valid).reshape(nb, b, k))
 
         def body(carry, batch):
-            h_alpha, h_live = carry
-            na, nl = jax.vmap(tile_fn)(batch)
+            h_alpha, h_live, h_row = carry
+            na, nl, nr = jax.vmap(tile_fn)(batch)
             h_alpha = h_alpha.at[na.reshape(-1)].add(1)
             h_live = h_live.at[nl.reshape(-1)].add(1)
-            return (h_alpha, h_live), None
+            h_row = h_row.at[nr.reshape(-1)].add(1)
+            return (h_alpha, h_live, h_row), None
 
-        init = (jnp.zeros(k + 1, jnp.int32), jnp.zeros(k + 1, jnp.int32))
-        (h_alpha, h_live), _ = jax.lax.scan(body, init, xs)
-        return h_alpha, h_live
+        init = (jnp.zeros(k + 1, jnp.int32), jnp.zeros(k + 1, jnp.int32),
+                jnp.zeros(k + 1, jnp.int32))
+        (h_alpha, h_live, h_row), _ = jax.lax.scan(body, init, xs)
+        return h_alpha, h_live, h_row
+
+    @jax.jit
+    def footprint_row_counts(bundle):
+        """Per (pixel-row, 128-col sector) candidate counts under the
+        binner's conservative BOX footprint and under an ellipse-slice
+        refinement (azimuth half-width shrunk by the row's normalized
+        elevation offset) — what a row-refined binner could select."""
+        from lidar_rt_tpu.ops.binning import footprint_bounds
+        row_lo, row_hi, col_c, col_half, rng, live = footprint_bounds(
+            grid, W, w2s, bundle.means, bundle.scales, bundle.opacities,
+            TILE, rotations=bundle.rotations)
+        rows = jnp.arange(H, dtype=jnp.float32)[:, None]      # (H, 1)
+        sec_c = jnp.arange(tiles_x, dtype=jnp.float32) * tw + tw / 2.0
+
+        def over_n(chunk):
+            rl, rh, cc, ch_, lv = chunk
+            row_in = (rows >= rl[None, :]) & (rows <= rh[None, :])  # (H, C)
+            rc = 0.5 * (rl + rh)
+            rhalf = jnp.maximum(0.5 * (rh - rl), 1e-6)
+            frac = jnp.clip((rows - rc[None, :]) / rhalf[None, :], -1., 1.)
+            ch_row = ch_[None, :] * jnp.sqrt(
+                jnp.maximum(1.0 - frac * frac, 0.0))          # (H, C)
+            # sector [x0, x0+tw) overlap, wrapped azimuth
+            d = jnp.abs((cc[None, :] - sec_c[:, None]
+                         + W / 2.0) % W - W / 2.0)            # (TX, C)
+            col_in_box = d <= (ch_[None, :] + tw / 2.0)       # (TX, C)
+            col_in_ell = (d[:, None, :]
+                          <= ch_row[None, :, :] + tw / 2.0)   # (TX, H, C)
+            lv_ = lv[None, None, :]
+            box = jnp.sum(row_in[None] & col_in_box[:, None, :] & lv_,
+                          axis=-1)
+            ell = jnp.sum(row_in[None] & col_in_ell & lv_, axis=-1)
+            return box.astype(jnp.int32), ell.astype(jnp.int32)  # (TX, H)
+
+        c = 8192
+        nchunks = n // c
+        parts = (row_lo.reshape(nchunks, c), row_hi.reshape(nchunks, c),
+                 col_c.reshape(nchunks, c), col_half.reshape(nchunks, c),
+                 live.reshape(nchunks, c))
+
+        def body(acc, chunk):
+            b, e = over_n(chunk)
+            return (acc[0] + b, acc[1] + e), None
+
+        z = jnp.zeros((tiles_x, H), jnp.int32)
+        (box, ell), _ = jax.lax.scan(body, (z, z), parts)
+        return box, ell
 
     t0 = time.time()
-    h_alpha, h_live = jax.block_until_ready(stats(bundle))
+    h_alpha, h_live, h_row = jax.block_until_ready(stats(bundle))
     h_alpha = np.asarray(h_alpha, np.float64)
     h_live = np.asarray(h_live, np.float64)
+    h_row = np.asarray(h_row, np.float64)
+    box, ell = jax.block_until_ready(footprint_row_counts(bundle))
+    box, ell = np.asarray(box).ravel(), np.asarray(ell).ravel()
     print(f"computed in {time.time() - t0:.1f} s "
           f"({int(h_alpha.sum())} rays incl. tile padding)")
 
@@ -148,6 +208,18 @@ def main() -> None:
 
     describe("n_alpha (gate-passing pairs/ray)   ", h_alpha)
     describe("n_live  (depth-ordered live pairs) ", h_live)
+    describe("n_row_true (unique gate-passing per 1x128 row, of tile's K)",
+             h_row)
+
+    def describe_arr(name, v):
+        print(f"{name}: mean {v.mean():.1f}  p50 {np.percentile(v, 50):.0f}"
+              f"  p90 {np.percentile(v, 90):.0f}"
+              f"  p99 {np.percentile(v, 99):.0f}  max {v.max()}  "
+              f"frac>128 {np.mean(v > 128):.4f}  "
+              f"frac>192 {np.mean(v > 192):.4f}")
+
+    describe_arr("row-sector BOX footprint count    ", box)
+    describe_arr("row-sector ELLIPSE-slice count    ", ell)
 
 
 if __name__ == "__main__":
