@@ -38,8 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 from lidar_rt_tpu.ops import geometry
 from lidar_rt_tpu.ops.pallas_common import (lane_cumprod_excl, lane_cumsum,
                                             sh_basis_rows, use_interpret)
-from lidar_rt_tpu.ops.pallas_sort import (pack_depth_keys, sort_lanes,
-                                          unsort_lanes)
+from lidar_rt_tpu.ops.pallas_sort import (pack_depth_keys,
+                                          pack_depth_keys_pair, sort_lanes,
+                                          sort_lanes_pair, unsort_lanes,
+                                          unsort_lanes_pair)
 
 Array = jax.Array
 
@@ -52,12 +54,26 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                      sh_ref, fwd_ref, g_ref,
                      d_axes_ref, d_plane_ref, d_scale_ref, d_opac_ref,
                      d_sh_ref, traw_ref, gwc_ref, w_ref, dqd_ref, dbu_ref,
-                     dbv_ref, alive_ref,
-                     *, k_total: int, exact: bool, fast: bool):
+                     dbv_ref, *extra,
+                     k_total: int, exact: bool, fast: bool):
     """Grid (T, RB).  fwd/g: (1, R, 16) forward totals and upstream grads.
-    d_* outputs accumulate across ray blocks (init at rb == 0)."""
+    d_* outputs accumulate across ray blocks (init at rb == 0).
+
+    exact_pair (exact, K = 256): three phases mirroring the forward's
+    cross-chunk exact ordering — (1) chunk loop recomputes and banks the
+    gated alphas / gw / depths, (2) one 256-lane pair sort orders them
+    globally per ray, the transmittance/suffix scans chain through the
+    sorted halves, and the inverse sort scatters (t_excl, suffix) back to
+    candidate order, (3) a second chunk loop recomputes the intersection
+    locals and runs the per-pair gradient chain with those banked
+    factors."""
     r = dirs_ref.shape[1]
     rb = pl.program_id(1)
+    exact_pair = exact and k_total == 2 * K_CHUNK
+    if exact_pair:
+        alpha_sc, gw_sc, tdep_sc, texcl_sc, suffix_sc, alive_ref = extra
+    else:
+        (alive_ref,) = extra
 
     @pl.when(rb == 0)
     def _():
@@ -118,9 +134,10 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                         preferred_element_type=jnp.float32,
                         precision=chan_prec) + 0.5
 
-    def chunk_body(c):
-        t_raw = traw_ref[...]
-        gw_carry = gwc_ref[...]
+    def chunk_body(c, phase=0):
+        # phase 0: full body (non-pair modes).  phase 1: bank alpha/gw/t
+        # for the cross-chunk sort.  phase 2: gradient chain from the
+        # banked t_excl/suffix (exact_pair only).
         ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
 
         n_mat = axes_ref[0, 0, :, ks]          # (3, KC)
@@ -156,18 +173,43 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         alpha = jnp.where(ok, alpha_raw, 0.0)
         one_m = 1.0 - alpha
 
-        col0 = jnp.maximum(col0_raw_full[:, ks], 0.0)
-        col1 = col1_full[:, ks]
-        col2 = col2_full[:, ks]
-
-        # ---- per-hit dL/dw (independent of transmittance) ----
         sn0 = sign * n_mat[0:1]
         sn1 = sign * n_mat[1:2]
         sn2 = sign * n_mat[2:3]
-        gw = (g_rows[0] * col0 + g_rows[1] * col1 + g_rows[2] * col2
-              + g_rows[3] * t + g_rows[4]
-              + g_rows[5] * sn0 + g_rows[6] * sn1 + g_rows[7] * sn2)
+        if phase == 2:
+            gw = gw_sc[:, ks]
+        else:
+            col0 = jnp.maximum(col0_raw_full[:, ks], 0.0)
+            col1 = col1_full[:, ks]
+            col2 = col2_full[:, ks]
+            # ---- per-hit dL/dw (independent of transmittance) ----
+            gw = (g_rows[0] * col0 + g_rows[1] * col1 + g_rows[2] * col2
+                  + g_rows[3] * t + g_rows[4]
+                  + g_rows[5] * sn0 + g_rows[6] * sn1 + g_rows[7] * sn2)
 
+        if phase == 1:
+            alpha_sc[:, ks] = alpha
+            gw_sc[:, ks] = gw
+            tdep_sc[:, ks] = t
+            return
+
+        if phase == 2:
+            t_excl = texcl_sc[:, ks]
+            suffix = suffix_sc[:, ks]
+            live = (t_excl * one_m >= geometry.T_MIN).astype(jnp.float32)
+            w = alpha * t_excl * live
+            one_m_alpha = jnp.maximum(one_m, 1e-6)
+            d_alpha = (gw * t_excl * live
+                       - suffix / one_m_alpha
+                       - g_t_final * t_out_fwd * live / one_m_alpha
+                       - g_raw_raw / one_m_alpha)
+            gate = ok & (alpha_raw < geometry.ALPHA_MAX)
+            d_alpha = jnp.where(gate, d_alpha, 0.0)
+            return chain(c, ks, d_alpha, w, g, opac, u, v, inv_s0, inv_s1,
+                         t, b_u, b_v, a_u, a_v, safe_qd)
+
+        t_raw = traw_ref[...]
+        gw_carry = gwc_ref[...]
         # ---- transmittance + suffix identity, in scan order ----
         # Exact mode runs both scans in per-ray depth order and scatters
         # t_excl and the suffix back through the inverse sort; the carries
@@ -210,6 +252,21 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         gate = ok & (alpha_raw < geometry.ALPHA_MAX)
         d_alpha = jnp.where(gate, d_alpha, 0.0)
 
+        chain(c, ks, d_alpha, w, g, opac, u, v, inv_s0, inv_s1, t, b_u,
+              b_v, a_u, a_v, safe_qd)
+
+        # ---- carries ----
+        last = K_CHUNK - 1
+        new_traw = t_raw * scan_p_excl[:, last:] * scan_one_m[:, last:]
+        traw_ref[...] = new_traw
+        gwc_ref[...] = prefix_last
+        alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
+            jnp.int32)
+
+    def chain(c, ks, d_alpha, w, g, opac, u, v, inv_s0, inv_s1, t, b_u,
+              b_v, a_u, a_v, safe_qd):
+        """The per-pair gradient chain + scratch/output stores (shared by
+        the in-loop path and the exact-pair phase-2 path)."""
         # ---- alpha -> (opacity, G) -> (u, v) ----
         d_opac_pair = d_alpha * g
         d_g = d_alpha * opac
@@ -246,14 +303,6 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         d_scale_ref[0, 1:2, ks] += rsum(d_inv_s1_pair)
         d_opac_ref[0, :, ks] += rsum(d_opac_pair)
 
-        # ---- carries ----
-        last = K_CHUNK - 1
-        new_traw = t_raw * scan_p_excl[:, last:] * scan_one_m[:, last:]
-        traw_ref[...] = new_traw
-        gwc_ref[...] = prefix_last
-        alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
-            jnp.int32)
-
     traw_ref[...] = t0_ref[0]       # tail re-trace carry (ones default)
     gwc_ref[...] = jnp.zeros((r, 1), jnp.float32)
     alive_ref[0] = 1
@@ -263,25 +312,91 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     # telescopes to the float residual, which skipping rounds to the
     # true 0).
     cnt = cnt_ref[pl.program_id(0), 0]
-    for c in range(num_chunks):
-        run = cnt > (c * K_CHUNK)
-        if c > 0:
-            run = run & (alive_ref[0] == 1)
+    if exact_pair:
+        # Phase 1: bank gated alphas / gw / depths per chunk.
+        for c in range(num_chunks):
+            run = cnt > (c * K_CHUNK)
 
-        @pl.when(run)
-        def _(c=c):
-            chunk_body(c)
+            @pl.when(run)
+            def _(c=c):
+                chunk_body(c, phase=1)
 
-        # Skipped chunks zero their own scratch slices (cheaper than
-        # zeroing four (R, K) scratches up front).
-        @pl.when(jnp.logical_not(run))
-        def _(c=c):
-            ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
-            z = jnp.zeros((r, K_CHUNK), jnp.float32)
-            w_ref[:, ks] = z
-            dqd_ref[:, ks] = z
-            dbu_ref[:, ks] = z
-            dbv_ref[:, ks] = z
+            @pl.when(jnp.logical_not(run))
+            def _(c=c):
+                ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
+                z = jnp.zeros((r, K_CHUNK), jnp.float32)
+                alpha_sc[:, ks] = z
+                gw_sc[:, ks] = z
+                tdep_sc[:, ks] = z
+
+        # Phase 2 (unpredicated): global 256-lane depth sort; chain the
+        # exclusive transmittance and the inclusive gww prefix through
+        # the sorted halves; scatter (t_excl, suffix) back to candidate
+        # order — mirrors the forward's exact-pair compositing exactly
+        # (same sort keys, same gates).
+        a0 = alpha_sc[:, :K_CHUNK]
+        a1 = alpha_sc[:, K_CHUNK:]
+        key0, key1 = pack_depth_keys_pair(
+            tdep_sc[:, :K_CHUNK], a0 > 0.0,
+            tdep_sc[:, K_CHUNK:], a1 > 0.0)
+        (k0s, k1s), ((s0, s1), (gws0, gws1)) = sort_lanes_pair(
+            key0, key1, ((a0, a1), (gw_sc[:, :K_CHUNK],
+                                    gw_sc[:, K_CHUNK:])))
+        one0, one1 = 1.0 - s0, 1.0 - s1
+        last = K_CHUNK - 1
+        t0col = t0_ref[0]
+        pe0 = lane_cumprod_excl(one0) * t0col
+        tot0 = pe0[:, last:] * one0[:, last:]
+        pe1 = lane_cumprod_excl(one1) * tot0
+        live0_s = (pe0 * one0 >= geometry.T_MIN).astype(jnp.float32)
+        live1_s = (pe1 * one1 >= geometry.T_MIN).astype(jnp.float32)
+        gww0 = gws0 * (s0 * pe0 * live0_s)
+        gww1 = gws1 * (s1 * pe1 * live1_s)
+        pre0 = lane_cumsum(gww0)
+        pre1 = lane_cumsum(gww1) + pre0[:, last:]
+        ((te0, te1), (sf0, sf1)) = unsort_lanes_pair(
+            k0s, k1s, ((pe0, pe1), (gw_total - pre0, gw_total - pre1)))
+        texcl_sc[:, :K_CHUNK] = te0
+        texcl_sc[:, K_CHUNK:] = te1
+        suffix_sc[:, :K_CHUNK] = sf0
+        suffix_sc[:, K_CHUNK:] = sf1
+
+        # Phase 3: per-pair gradient chain in candidate order.
+        for c in range(num_chunks):
+            run = cnt > (c * K_CHUNK)
+
+            @pl.when(run)
+            def _(c=c):
+                chunk_body(c, phase=2)
+
+            @pl.when(jnp.logical_not(run))
+            def _(c=c):
+                ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
+                z = jnp.zeros((r, K_CHUNK), jnp.float32)
+                w_ref[:, ks] = z
+                dqd_ref[:, ks] = z
+                dbu_ref[:, ks] = z
+                dbv_ref[:, ks] = z
+    else:
+        for c in range(num_chunks):
+            run = cnt > (c * K_CHUNK)
+            if c > 0:
+                run = run & (alive_ref[0] == 1)
+
+            @pl.when(run)
+            def _(c=c):
+                chunk_body(c)
+
+            # Skipped chunks zero their own scratch slices (cheaper than
+            # zeroing four (R, K) scratches up front).
+            @pl.when(jnp.logical_not(run))
+            def _(c=c):
+                ks = slice(c * K_CHUNK, (c + 1) * K_CHUNK)
+                z = jnp.zeros((r, K_CHUNK), jnp.float32)
+                w_ref[:, ks] = z
+                dqd_ref[:, ks] = z
+                dbu_ref[:, ks] = z
+                dbv_ref[:, ks] = z
 
     # Post-loop, UNpredicated full-K contractions (skipped chunks hold
     # exact zeros in the scratches).
@@ -377,6 +492,13 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
             pltpu.VMEM((rb, k), jnp.float32),   # per-pair dL/d(qd)
             pltpu.VMEM((rb, k), jnp.float32),   # per-pair dL/d(b_u)
             pltpu.VMEM((rb, k), jnp.float32),   # per-pair dL/d(b_v)
+        ] + ([
+            pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: gated alphas
+            pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: per-pair gw
+            pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: hit depths
+            pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: t_excl
+            pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: suffix
+        ] if exact and k == 2 * K_CHUNK else []) + [
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],
         compiler_params=pltpu.CompilerParams(

@@ -43,8 +43,10 @@ from lidar_rt_tpu.ops.binning import TileAssignment, TileConfig, bin_surfels
 from lidar_rt_tpu.ops.composite import RenderOutputs, SurfelBundle
 from lidar_rt_tpu.ops.pallas_common import (lane_cumprod_excl, sh_basis_rows,
                                             use_interpret)
-from lidar_rt_tpu.ops.pallas_sort import (pack_depth_keys, sort_lanes,
-                                          unsort_lanes)
+from lidar_rt_tpu.ops.pallas_sort import (pack_depth_keys,
+                                          pack_depth_keys_pair, sort_lanes,
+                                          sort_lanes_pair, unsort_lanes,
+                                          unsort_lanes_pair)
 
 Array = jax.Array
 
@@ -54,10 +56,11 @@ NUM_OUT_ROWS = 16      # padded channel rows (9 used)
 
 @dataclass(frozen=True)
 class PallasTraceConfig:
-    """exact_order: per-ray depth sort of each candidate chunk (bitonic
-    lane sort, ops/pallas_sort.py) reproducing the reference k-buffer
-    ordering (forward.cu:312-356).  Exact whenever a ray's hits fit one
-    chunk (max_per_tile == 128); for larger K the sort is per chunk with
+    """exact_order: per-ray depth sort of the candidates (bitonic lane
+    sort, ops/pallas_sort.py) reproducing the reference k-buffer ordering
+    (forward.cu:312-356).  Exact at max_per_tile 128 (one in-chunk sort)
+    AND at 256 (the 256-lane two-chunk pair sort — globally exact across
+    the whole flagship budget); for larger K the sort is per chunk with
     chunks in the binner's nearest-first order (strictly better than tile
     order, exact up to cross-chunk inversions)."""
 
@@ -93,8 +96,8 @@ class PallasTraceConfig:
 def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                     axes_ref, plane_ref, scale_ref, opac_ref, sign_ref,
                     sh_ref, chans_ref, accum_ref,
-                    traw_ref, sums_ref, w_ref, alive_ref,
-                    *, k_total: int, exact: bool, fast: bool):
+                    traw_ref, sums_ref, w_ref, *extra,
+                    k_total: int, exact: bool, fast: bool):
     """One (tile, ray_block) grid step.
 
     cnt:   (T, 1) SMEM     per-tile candidate counts, whole array (chunks
@@ -137,6 +140,16 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     """
     r = dirs_ref.shape[1]
     rb = pl.program_id(1)
+    # exact_pair: K = 256 composited in GLOBAL per-ray depth order via the
+    # 256-lane two-chunk bitonic sort (reference forward.cu:312-356 exact
+    # k-buffer semantics across the whole candidate budget).  The chunk
+    # loop only stores the gated alphas/depths; sorting, the cross-chunk
+    # transmittance chain, and every channel sum run post-loop.
+    exact_pair = exact and k_total == 2 * K_CHUNK
+    if exact_pair:
+        alpha_sc, tdep_sc, alive_ref = extra
+    else:
+        (alive_ref,) = extra
 
     dirs = dirs_ref[0]                       # (R, 3)
     d0, d1, d2 = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
@@ -200,6 +213,13 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
               & (abs_qd > geometry.DENOM_EPS)
               & (alpha_raw >= geometry.ALPHA_MIN))
         alpha = jnp.where(ok, alpha_raw, 0.0)
+
+        if exact_pair:
+            # Cross-chunk exact ordering: just bank the gated pairs; the
+            # global sort + compositing runs once, post-loop.
+            alpha_sc[:, ks] = alpha
+            tdep_sc[:, ks] = t
+            return
 
         # Direct product-space transmittance via a VPU doubling scan (the
         # reference's T *= (1 - alpha), forward.cu).  In exact mode the
@@ -275,8 +295,42 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         # pay no zero stores at all).
         @pl.when(jnp.logical_not(run))
         def _(c=c):
-            w_ref[:, c * K_CHUNK:(c + 1) * K_CHUNK] = \
-                jnp.zeros((r, K_CHUNK), jnp.float32)
+            z = jnp.zeros((r, K_CHUNK), jnp.float32)
+            if exact_pair:
+                alpha_sc[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
+                tdep_sc[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
+            else:
+                w_ref[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
+
+    if exact_pair:
+        # Global depth-ordered compositing over both chunks: sort the
+        # (alpha, depth-key) pairs across 256 lanes, chain the exclusive
+        # transmittance through the sorted halves, scatter it back to
+        # candidate order, and form weights there (channel math is
+        # candidate-shared, so it stays in candidate order — identical
+        # structure to the per-chunk exact path, at 256-lane scope).
+        a0 = alpha_sc[:, :K_CHUNK]
+        a1 = alpha_sc[:, K_CHUNK:]
+        key0, key1 = pack_depth_keys_pair(
+            tdep_sc[:, :K_CHUNK], a0 > 0.0, tdep_sc[:, K_CHUNK:], a1 > 0.0)
+        (k0s, k1s), ((s0, s1),) = sort_lanes_pair(key0, key1, ((a0, a1),))
+        one0, one1 = 1.0 - s0, 1.0 - s1
+        last = K_CHUNK - 1
+        pe0 = lane_cumprod_excl(one0) * t0
+        tot0 = pe0[:, last:] * one0[:, last:]
+        pe1 = lane_cumprod_excl(one1) * tot0
+        ((te0, te1),) = unsort_lanes_pair(k0s, k1s, ((pe0, pe1),))
+        live0 = (te0 * (1.0 - a0) >= geometry.T_MIN).astype(jnp.float32)
+        live1 = (te1 * (1.0 - a1) >= geometry.T_MIN).astype(jnp.float32)
+        w_ref[:, :K_CHUNK] = a0 * te0 * live0
+        w_ref[:, K_CHUNK:] = a1 * te1 * live1
+        traw_ref[...] = pe1[:, last:] * one1[:, last:]
+        w_pair = w_ref[...]
+        t_pair = tdep_sc[...]
+        sums_ref[...] = jnp.concatenate([
+            jnp.sum(w_pair * col0_full, axis=1, keepdims=True),
+            jnp.sum(w_pair * t_pair, axis=1, keepdims=True)], axis=1)
+        accum_ref[0] += jnp.sum(w_pair, axis=0, keepdims=True)
 
     # Post-loop, UNpredicated: full-K channel contractions of the weight
     # scratch (skipped chunks contribute exact zeros).
@@ -456,6 +510,10 @@ def _core_fwd_call(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
             pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
             pltpu.VMEM((rb, 2), jnp.float32),   # intensity/depth accumulators
             pltpu.VMEM((rb, k), jnp.float32),   # per-pair weight scratch
+        ] + ([
+            pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: gated alphas
+            pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: hit depths
+        ] if exact and k == 2 * K_CHUNK else []) + [
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],
         compiler_params=pltpu.CompilerParams(

@@ -53,9 +53,9 @@ class TraceConfig:
       (reference k-buffer semantics, forward.cu:312-356).  False keeps the
       tile-global nearest-center order (the 3DGS approximation) — cheaper.
       The pallas engine sorts with an in-kernel bitonic lane sort
-      (ops/pallas_sort.py), exact per chunk; "auto" routes exact_order to
-      pallas only when one chunk covers all candidates
-      (max_per_tile == 128), to jax otherwise.
+      (ops/pallas_sort.py): exact at max_per_tile 128 (one chunk) and at
+      256 (the cross-chunk 256-lane pair sort); "auto" routes exact_order
+      to pallas for those budgets, to jax otherwise.
     tile_batch: tiles composited per scan step (jax engine memory knob).
     ray_block: rays per kernel instance (pallas engine VMEM knob).
     """
@@ -96,11 +96,12 @@ class TraceConfig:
                     "ray_block dividing the tile ray count")
             return "pallas"
         # auto: compiled pallas on TPU only; exact_order stays on the jax
-        # engine unless one chunk covers all candidates (the in-kernel sort
-        # is exact per 128-lane chunk).
+        # engine unless the kernel's sort covers all candidates (one
+        # 128-lane chunk, or two chunks via the 256-lane pair sort).
         pallas_ok = (
             jax.default_backend() == "tpu" and shapes_ok
-            and (not self.exact_order or self.tile.max_per_tile == 128))
+            and (not self.exact_order
+                 or self.tile.max_per_tile in (128, 256)))
         return "pallas" if pallas_ok else "jax"
 
 

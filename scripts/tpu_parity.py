@@ -32,15 +32,18 @@ def main() -> int:
     s2w = jnp.eye(4).at[2, 3].set(2.0)
     bg = jnp.array([0.0, 0.0, 1.0])
     bundle = bench.street_scene_bundle(N)
-    tile = TileConfig(tile_h=16, tile_w=128, max_per_tile=128,
-                      binner="hier", approx_topk=False)
     # --fast: validate fast_math (1-pass bf16 channel/gradient matmuls)
     # against the f32 jax engine at its expected looser tolerance
     # (~4e-3 absolute channel deviation; intersections stay exact-f32).
     fast = "--fast" in sys.argv
     ch_tol = 2e-2 if fast else 1e-3
     ok = True
-    for exact in (False, True):
+    # K=128 exact exercises the single-chunk bitonic sort; K=256 exact
+    # exercises the 256-lane two-chunk pair sort (globally exact ordering
+    # at the flagship budget) in forward AND backward.
+    for k_budget, exact in ((128, False), (128, True), (256, True)):
+        tile = TileConfig(tile_h=16, tile_w=128, max_per_tile=k_budget,
+                          binner="hier", approx_topk=False)
         cfg_p = tracer_lib.TraceConfig(tile=tile, exact_order=exact,
                                        ray_block=512, engine="pallas",
                                        fast_math=fast)
@@ -58,7 +61,7 @@ def main() -> int:
         (l_j, ch_j), g_j = jax.value_and_grad(
             lambda b: loss(b, cfg_j), has_aux=True)(bundle)
         ch_err = float(jnp.max(jnp.abs(ch_p - ch_j)))
-        line = [("fast " if fast else "") + f"exact={exact}: "
+        line = [("fast " if fast else "") + f"K={k_budget} exact={exact}: "
                 f"chan max err {ch_err:.2e}"]
         this_ok = ch_err < ch_tol
         for name in ("means", "rotations", "scales", "opacities", "sh"):

@@ -252,3 +252,76 @@ class TestPallasBandRendering:
             for off in (0, 128))
         np.testing.assert_allclose(acc, np.asarray(full.accum_weights),
                                    atol=2e-4)
+
+
+class TestExactPair:
+    """Cross-chunk exact ordering at K = 256 (the flagship budget): the
+    256-lane two-chunk pair sort must reproduce the jax engine's global
+    per-ray depth order (reference forward.cu:312-356) — both kernels."""
+
+    TILE256 = TileConfig(tile_h=16, tile_w=128, max_per_tile=256)
+
+    def test_forward_matches_jax_exact(self):
+        bundle = _bundle(220, seed=31)
+        p = pallas_tracer.PallasTraceConfig(tile=self.TILE256,
+                                            ray_block=512, exact_order=True)
+        j = tracer.TraceConfig(tile=self.TILE256, exact_order=True,
+                               tile_batch=2, engine="jax")
+        out = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, p)
+        ref = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, j)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(ref.channels), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out.accum_weights),
+                                   np.asarray(ref.accum_weights), atol=3e-4)
+        # the scene must actually have cross-chunk inversions: tile order
+        # (and the per-chunk-only sort at K=256) disagree with exact
+        p_tile = pallas_tracer.PallasTraceConfig(tile=self.TILE256,
+                                                 ray_block=512)
+        tile_order = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3,
+                                         p_tile)
+        assert np.abs(np.asarray(tile_order.channels[..., 3])
+                      - np.asarray(ref.channels[..., 3])).max() > 1e-3
+
+    def test_backward_matches_jax_exact(self):
+        bundle = _bundle(160, seed=32)
+        p = pallas_tracer.PallasTraceConfig(tile=self.TILE256,
+                                            ray_block=512, exact_order=True)
+        j = tracer.TraceConfig(tile=self.TILE256, exact_order=True,
+                               tile_batch=2, engine="jax")
+
+        def loss(trace_fn, cfg):
+            def f(b):
+                out = trace_fn(b, GRID, WIDTH, S2W, BG, 3, cfg)
+                return (jnp.sum(out.channels[..., 3] ** 2) * 1e-3
+                        + jnp.sum(out.channels[..., 0:3] ** 2)
+                        + jnp.sum(out.channels[..., 8]))
+            return f
+
+        g_p = jax.grad(loss(pallas_tracer.trace, p))(bundle)
+        g_j = jax.grad(loss(tracer.trace, j))(bundle)
+        for name in ("means", "rotations", "scales", "opacities", "sh"):
+            a = np.asarray(getattr(g_p, name))
+            b = np.asarray(getattr(g_j, name))
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=3e-3,
+                                       err_msg=name)
+
+    def test_tail_carry_with_exact_pair(self):
+        """init_trans (tail re-trace carry) composes with the pair sort:
+        raw-transmittance output and channels match the jax exact engine
+        when a non-trivial initial transmittance is supplied."""
+        bundle = _bundle(150, seed=33)
+        rng = np.random.default_rng(4)
+        t0 = jnp.asarray(rng.uniform(0.3, 1.0, (16, WIDTH)), jnp.float32)
+        p = pallas_tracer.PallasTraceConfig(tile=self.TILE256,
+                                            ray_block=512, exact_order=True)
+        j = tracer.TraceConfig(tile=self.TILE256, exact_order=True,
+                               tile_batch=2, engine="jax")
+        out = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, p,
+                                  init_trans=t0)
+        ref = tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, j,
+                           init_trans=t0)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(ref.channels), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out.raw_trans),
+                                   np.asarray(ref.raw_trans), atol=3e-4)
