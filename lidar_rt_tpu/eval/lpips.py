@@ -148,3 +148,45 @@ def convert_torch_checkpoints(alexnet_state: dict, lin_state: dict,
             else f"lin{i}.model.1.weight"
         arrs[f"lin{i}_w"] = np.asarray(lin_state[key])
     np.savez(out_path, **arrs)
+
+
+def _load_torch_state(path: str) -> dict:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in state.items()}
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Offline weights drop (run on any host with the two checkpoints):
+
+        python -m lidar_rt_tpu.eval.lpips alexnet.pth alex.pth lpips.npz
+
+    `alexnet.pth` is the torchvision AlexNet-ImageNet state dict,
+    `alex.pth` the richzhang LPIPS v0.1 linear heads; copy the produced
+    npz next to the repo and `export LIDAR_RT_LPIPS_WEIGHTS=.../lpips.npz`.
+    Prints a self-check lpips value so a bad drop fails loudly here, not
+    as nan columns at eval time (reference always reports LPIPS,
+    eval.py:75,298-304)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("alexnet_pth")
+    p.add_argument("lin_pth")
+    p.add_argument("out_npz")
+    ns = p.parse_args(argv)
+    convert_torch_checkpoints(_load_torch_state(ns.alexnet_pth),
+                              _load_torch_state(ns.lin_pth), ns.out_npz)
+    fn = make_lpips_fn(weights_path=ns.out_npz)
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (64, 64))
+    val = fn(a, np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1))
+    if not np.isfinite(val):
+        raise SystemExit("self-check lpips is non-finite; bad checkpoint?")
+    print(f"wrote {ns.out_npz}  (self-check lpips={val:.4f})")
+
+
+if __name__ == "__main__":
+    main()

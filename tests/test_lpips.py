@@ -81,3 +81,31 @@ class TestLpips:
                                                               monkeypatch):
         monkeypatch.delenv(lpips_lib.ENV_VAR, raising=False)
         assert lpips_lib.make_lpips_fn() is None
+
+    def test_cli_drop_path_from_real_pth_files(self, tmp_path, capsys):
+        # The documented offline drop: torch.save'd checkpoints ->
+        # `python -m lidar_rt_tpu.eval.lpips a.pth l.pth out.npz` ->
+        # finite metric.  Exercises torch.load + key remap end to end.
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(3)
+        layer_ids = [0, 3, 6, 8, 10]
+        shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+                  (256, 384, 3, 3), (256, 256, 3, 3)]
+        alex = {}
+        for lid, s in zip(layer_ids, shapes):
+            alex[f"features.{lid}.weight"] = torch.tensor(
+                rng.normal(0, 0.05, s).astype(np.float32))
+            alex[f"features.{lid}.bias"] = torch.zeros(s[0])
+        # richzhang v0.1 key layout (lin{i}.model.1.weight)
+        lin = {f"lin{i}.model.1.weight":
+               torch.rand(1, c, 1, 1) for i, c in
+               enumerate(lpips_lib.N_CHANNELS)}
+        a_pth, l_pth = str(tmp_path / "a.pth"), str(tmp_path / "l.pth")
+        out = str(tmp_path / "lpips.npz")
+        torch.save(alex, a_pth)
+        torch.save(lin, l_pth)
+        lpips_lib.main([a_pth, l_pth, out])
+        assert "self-check lpips=" in capsys.readouterr().out
+        fn = lpips_lib.make_lpips_fn(weights_path=out)
+        img = rng.uniform(0, 1, (40, 40))
+        assert np.isfinite(fn(img, img * 0.5))
