@@ -26,6 +26,14 @@ from lidar_rt_tpu.ops.composite import SurfelBundle
 H, W = 64, 2650
 N_SURFELS = 131_072
 WARMUP, ITERS = 2, 20
+# Sweep overrides (perf triage only; the committed defaults below are the
+# flagship): BENCH_TILE_H, BENCH_K, BENCH_TAIL, BENCH_RAY_BLOCK.
+import os as _os
+_TILE_H = int(_os.environ.get("BENCH_TILE_H", 8))
+_K = int(_os.environ.get("BENCH_K", 256))
+_TAIL = int(_os.environ.get("BENCH_TAIL", 0))
+_RAY_BLOCK = int(_os.environ.get("BENCH_RAY_BLOCK", 512))
+_EXACT = bool(int(_os.environ.get("BENCH_EXACT", 0)))
 # Rebin-interval amortization (train/loop.py BinCache): the tile assignment
 # is a stop-gradient visibility oracle re-binned every REBIN_EVERY renders
 # of a frame, not every step (quality-validated at training scale by
@@ -76,30 +84,36 @@ def main() -> None:
     s2w = jnp.eye(4).at[2, 3].set(2.0)
     bg = jnp.array([0.0, 0.0, 1.0])
     bundle = street_scene_bundle(N_SURFELS)
-    # Flagship kernel config from the round-2 sweep (scripts/sweep_perf.py),
-    # quality-validated at this scan scale by scripts/quality_check.py
-    # (4k-iter synthetic training: depth_med 0.055 m, hit acc 0.978 —
-    # better than the round-1 config at 1.5x its speed): hierarchical
-    # binner with TPU-native approximate top-k, 8-row tiles, K=256.
+    # Flagship config, re-validated by the round-3 two-seed quality ladder
+    # (LADDER_r03.json / PERF_NOTES round 3): 8-row tiles K=256, hier
+    # binner with TPU-native approximate top-k.  The K=128 contenders were
+    # adjudicated against it at Waymo training scale: plain K=128 loses
+    # real depth (truncates geometry), and K=128 + one cached tail pass
+    # (reference re-launch semantics, forward.cu:282-291) ties on quality
+    # and wins ~10% steady-state TRAINING it/s but loses on this dense
+    # unpruned soup (tail runs near-full: 13.2 vs 18.0 Mray/s) — it stays
+    # a config option (BENCH_TAIL=1 models the trainer's cached chain).
     # fast_math: channel/gradient MXU contractions at 1-pass bf16 — the
     # reference composites at full CUDA fp32 speed (forward.cu:240-272);
     # gated by scripts/tpu_parity.py --fast (round 3: PASS, chan err
     # 3.1e-3, grad cosines >= 0.9996) and the escalating hang probe
     # (scripts/fast_math_probe.sh: PASS all sizes post MXU-hoist).
     cfg = tracer_lib.TraceConfig(
-        tile=TileConfig(tile_h=8, tile_w=128, max_per_tile=256,
+        tile=TileConfig(tile_h=_TILE_H, tile_w=128, max_per_tile=_K,
                         binner="hier", approx_topk=True,
                         pad_px=REBIN_PAD_PX),
-        exact_order=False, ray_block=512, fast_math=True)
+        exact_order=_EXACT, ray_block=_RAY_BLOCK, fast_math=True,
+        tail_passes=_TAIL)
+    n_passes = cfg.tail_passes + 1
 
     from lidar_rt_tpu.core import transforms
-    from lidar_rt_tpu.ops.binning import TileAssignment, bin_surfels
+    from lidar_rt_tpu.ops.binning import TileAssignment
     w2s = transforms.invert_se3(s2w)
 
     def step(carry, i):
         # The carry feeds back into the surfel opacities so lax.scan cannot
         # elide or overlap iterations: each step is a full fresh fwd+bwd.
-        c, idx, val = carry
+        c, idx, val, trunc = carry
         # 1e-30-scale coupling: numerically invisible, but the dynamic
         # carry makes each iteration's input distinct so nothing hoists.
         # The carry is the (N,) gradient VECTOR, not a reduced scalar: a
@@ -109,24 +123,28 @@ def main() -> None:
         b = bundle._replace(opacities=bundle.opacities + c * 1e-30)
 
         def rebin():
-            a = bin_surfels(grid, W, w2s, b.means, b.scales, b.opacities,
-                            cfg.tile, rotations=b.rotations)
-            return a.index.astype(jnp.int32), a.valid
+            chain = tracer_lib.bin_tail_chain(b, grid, W, w2s, cfg.tile,
+                                              cfg.tail_passes)
+            return (jnp.stack([a.index.astype(jnp.int32) for a in chain]),
+                    jnp.stack([a.valid for a in chain]),
+                    jnp.stack([a.truncated for a in chain]))
 
-        idx, val = jax.lax.cond(i % REBIN_EVERY == 0, rebin,
-                                lambda: (idx, val))
-        assignment = TileAssignment(
-            index=idx, valid=val,
-            truncated=jnp.zeros((idx.shape[0],), jnp.int32))
+        idx, val, trunc = jax.lax.cond(i % REBIN_EVERY == 0, rebin,
+                                       lambda: (idx, val, trunc))
+        assignments = [TileAssignment(index=idx[p], valid=val[p],
+                                      truncated=trunc[p])
+                       for p in range(n_passes)]
+        if n_passes == 1:
+            assignments = assignments[0]
 
         def loss(b):
             out = tracer_lib.trace(b, grid, W, s2w, bg, 3, cfg,
-                                   assignment=assignment)
+                                   assignment=assignments)
             return (jnp.sum(jnp.abs(out.channels[..., 3])) * 1e-3
                     + jnp.sum(out.channels[..., 0] ** 2))
 
         l, g = jax.value_and_grad(loss)(b)
-        return (g.opacities, idx, val), None
+        return (g.opacities, idx, val, trunc), None
 
     tiles_y, tiles_x = cfg.tile.num_tiles(H, W)
     t_total = tiles_y * tiles_x
@@ -136,10 +154,12 @@ def main() -> None:
         # ITERS steps inside one jit: measures device throughput without
         # per-dispatch host/tunnel latency (the device runs steps
         # back-to-back; verified against the profiler timeline).
+        k = cfg.tile.max_per_tile
         carry0 = (jnp.zeros_like(bundle.opacities),
-                  jnp.zeros((t_total, cfg.tile.max_per_tile), jnp.int32),
-                  jnp.zeros((t_total, cfg.tile.max_per_tile), bool))
-        (out, _, _), _ = jax.lax.scan(step, carry0, jnp.arange(ITERS))
+                  jnp.zeros((n_passes, t_total, k), jnp.int32),
+                  jnp.zeros((n_passes, t_total, k), bool),
+                  jnp.zeros((n_passes, t_total), jnp.int32))
+        (out, _, _, _), _ = jax.lax.scan(step, carry0, jnp.arange(ITERS))
         return jnp.sum(out)
 
     for _ in range(WARMUP):

@@ -31,8 +31,10 @@ H, W = bench.H, bench.W
 ITERS = 20
 
 FAST = "--fast" in sys.argv
-TILE = TileConfig(tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
-                  approx_topk=True)
+# Tile shape follows bench.py's sweep env vars (BENCH_TILE_H / BENCH_K)
+# so stage budgets are measured at the same config the bench reports.
+TILE = TileConfig(tile_h=bench._TILE_H, tile_w=128, max_per_tile=bench._K,
+                  binner="hier", approx_topk=True)
 CFG = tracer_lib.TraceConfig(tile=TILE, exact_order=False, ray_block=512,
                              fast_math=FAST)
 PCFG = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512,

@@ -30,6 +30,11 @@ from lidar_rt_tpu.train import loop
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
 H, W = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2
                          else "32x512").split("x"))
+# Optional: scene seed (argv[3], default 0 — the round-3 ladder seed) and
+# a config-name substring filter (argv[4]) for seed-stability re-runs of a
+# contender subset.
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+ONLY = sys.argv[4] if len(sys.argv) > 4 else ""
 
 # (name, steady tile, warmup tile | None, opt overrides, ray_block)
 _T8K256 = TileConfig(tile_h=8, tile_w=128, max_per_tile=256, binner="hier",
@@ -80,9 +85,13 @@ def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512,
     # every config trains on the SAME initial scene (otherwise batch
     # position confounds the comparison).
     import random as _random
-    _random.seed(0)
-    np.random.seed(0)
+    _random.seed(SEED)
+    np.random.seed(SEED)
     frames, track = synthetic.generate(num_frames=4, height=H, width=W)
+    # SEED drives the surfel init realization through assemble_scene's
+    # explicit key (its internal default is a FIXED jax.random.key(0) —
+    # global numpy seeding does not reach it).  The scene geometry itself
+    # is deterministic; seed variation = a different init realization.
     d = default_experiment().to_dict()
     d["opt"].update(densify_until_iter=ITERS * 5 // 12,
                     opacity_reset_interval=ITERS // 5,
@@ -90,6 +99,7 @@ def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512,
                     **(opt_overrides or {}))
     args = Args(d)
     scene = build.assemble_scene(frames, [track], args,
+                                 key=jax.random.key(SEED),
                                  capacity_headroom=2.0)
     # fast_math matches the round-3 flagship default (gated by
     # PARITY_r03.json); this ladder doubles as its training-scale
@@ -118,4 +128,6 @@ def run(name, tile, warmup_tile=None, opt_overrides=None, ray_block=512,
 
 if __name__ == "__main__":
     for name, tile, warm, opt_over, rb, tail in CONFIGS:
+        if ONLY and not any(s in name for s in ONLY.split(",")):
+            continue
         run(name, tile, warm, opt_over, rb, tail_passes=tail)
