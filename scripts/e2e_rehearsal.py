@@ -207,10 +207,16 @@ def collect() -> None:
         if os.path.exists(log_path):
             with open(log_path) as f:
                 hist = json.load(f)["history"]
-            if len(hist) > 100:
-                span = hist[-1]["elapsed"] - hist[100]["elapsed"]
-                its = (hist[-1]["iteration"] - hist[100]["iteration"]) / span
-                entry["steady_state_it_per_s"] = round(its, 2)
+            # 'elapsed' is stamped on log-event entries only (every
+            # log_every iterations); measure steady state across the
+            # stamped entries past warmup.
+            stamped = [h for h in hist if "elapsed" in h]
+            if len(stamped) > 2:
+                a, b = stamped[1], stamped[-1]
+                span = b["elapsed"] - a["elapsed"]
+                if span > 0:
+                    its = (b["iteration"] - a["iteration"]) / span
+                    entry["steady_state_it_per_s"] = round(its, 2)
             entry["final_loss"] = hist[-1]["loss"]
             entry["iterations_recorded"] = len(hist)
         rec["results"][which] = entry

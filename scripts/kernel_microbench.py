@@ -70,6 +70,18 @@ def kernel(level, dirs_ref, basis_ref, axes_ref, plane_ref, scale_ref,
         sums_ref[...] = jnp.sum(x, axis=1, keepdims=True)
         out_ref[0] = jnp.broadcast_to(sums_ref[...].T, out_ref.shape[1:])
         return
+    if level == "chain_bf16":           # the same 16-op chain on packed
+        # bf16 vregs: measures whether Mosaic's (16, 128) bf16 packing
+        # halves the per-vreg-pass issue cost (the kernel's measured
+        # bottleneck) or silently unpacks for the ALU.
+        x = qd.astype(jnp.bfloat16)
+        for _ in range(8):
+            x = x * jnp.bfloat16(1.0001) + jnp.bfloat16(0.1)
+            x = jnp.maximum(x * jnp.bfloat16(0.9999), x - jnp.bfloat16(0.1))
+        sums_ref[...] = jnp.sum(x.astype(jnp.float32), axis=1,
+                                keepdims=True)
+        out_ref[0] = jnp.broadcast_to(sums_ref[...].T, out_ref.shape[1:])
+        return
     if level == "broadcasts":           # 6 more (R,1)x(1,K) broadcast muls
         x = qd
         x = x + d0 * p + d1 * a_u + d2 * a_v
