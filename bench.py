@@ -101,7 +101,7 @@ def main() -> None:
     cfg = tracer_lib.TraceConfig(
         tile=TileConfig(tile_h=_TILE_H, tile_w=128, max_per_tile=_K,
                         binner="hier", approx_topk=True,
-                        pad_px=REBIN_PAD_PX),
+                        pad_px=REBIN_PAD_PX, snap_pad_px=0.5),
         exact_order=_EXACT, ray_block=_RAY_BLOCK, fast_math=True,
         tail_passes=_TAIL)
     n_passes = cfg.tail_passes + 1

@@ -3,8 +3,10 @@
 Equivalent of the reference's config layer (lib/arguments/__init__.py:9-60):
 configs are plain YAML; a `parent_config:` key points at a base file whose
 values are recursively merged underneath (child keys win); cycles are
-detected.  Train/eval take two files — a data config and an experiment
-config — merged in that order (reference train.py:507-519).
+detected.  Train/eval take two files — the experiment config is parsed
+first and its values take precedence; the data config then only fills keys
+the experiment config didn't set (reference train.py:518-519 with the
+first-loaded-wins merge of lib/arguments/__init__.py:32-42).
 
 `Args` is a read-only attribute view over nested dicts with dict-style
 fallbacks, so hyperparameters read as `args.opt.lambda_depth_l1`.
@@ -58,14 +60,33 @@ class Args:
 
 
 def merge_dicts(base: dict, child: dict) -> dict:
-    """Recursive merge; child keys win (reference merge_configs
-    lib/arguments/__init__.py:32-42)."""
+    """Recursive merge; child keys win.  Used for the parent_config chain,
+    where the child file overrides its parent — the same net effect as the
+    reference's merge loop (lib/arguments/__init__.py:49-58), which loads
+    the child first and lets already-present keys win as parents arrive."""
     out = copy.deepcopy(base)
     for k, v in child.items():
         if k in out and isinstance(out[k], dict) and isinstance(v, dict):
             out[k] = merge_dicts(out[k], v)
         else:
             out[k] = copy.deepcopy(v)
+    return out
+
+
+def underlay_dicts(base: dict, under: dict) -> dict:
+    """Recursive merge where BASE keys win; `under` only fills gaps.
+
+    This is the reference's `merge_configs(dict1, dict2)` exactly
+    (lib/arguments/__init__.py:32-42): on a leaf conflict dict1 — the
+    already-accumulated args — is returned unchanged.  It is what makes
+    `parse(data_cfg, parse(exp_cfg))` (train.py:518-519) give the
+    EXPERIMENT config precedence over the data-config chain."""
+    out = copy.deepcopy(base)
+    for k, v in under.items():
+        if k not in out:
+            out[k] = copy.deepcopy(v)
+        elif isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = underlay_dicts(out[k], v)
     return out
 
 
@@ -107,12 +128,15 @@ def load_config_dict(path: str, _seen: tuple = ()) -> dict:
 
 
 def parse(path: str, base: Args | None = None) -> Args:
-    """Parse a config file into Args, optionally merging over an existing
-    Args (the reference threads the experiment config under the data config:
-    `parse(data_cfg, parse(exp_cfg))`, train.py:518-519)."""
+    """Parse a config file into Args, optionally underlaying it beneath an
+    existing Args: `parse(data_cfg, parse(exp_cfg))` (reference
+    train.py:518-519) keeps every value the experiment config already set —
+    the data-config chain (including any parent defaults it drags in) only
+    fills keys the base doesn't have.  Matches the reference's first-loaded-
+    wins merge (lib/arguments/__init__.py:32-58)."""
     d = load_config_dict(path)
     if base is not None:
-        d = merge_dicts(base.to_dict(), d)
+        d = underlay_dicts(base.to_dict(), d)
     return Args(d)
 
 

@@ -73,6 +73,29 @@ class TileConfig:
     # a splat moving toward a tile boundary stays listed.  0 for
     # bin-every-step operation.
     pad_px: float = 0.0
+    # Discrete-sample existence cull.  Rays live at INTEGER (row, col)
+    # raster coordinates, but the footprint test is continuous: a far
+    # splat whose sub-pixel footprint sits BETWEEN rows/columns overlaps
+    # tiles while containing no actual ray sample — its alpha is below
+    # ALPHA_MIN at every ray of the frame (the footprint box bounds the
+    # alpha >= 1/255 region, primitive_utils.py:201-205 semantics), so it
+    # contributes zero weight and zero gradient in the kernel, yet burns a
+    # candidate slot and per-pair math in every tile it touches.  Ground
+    # surfels seen at grazing incidence (tiny oriented row silhouette) make
+    # this the dominant binning overcount at range.  The cull drops any
+    # splat whose padded footprint contains no integer row in [0, H-1] or
+    # no integer column — output- and gradient-exact by construction.
+    sample_snap: bool = True
+    # Margin (px) for the sample_snap existence test.  None -> use pad_px
+    # (the cull stays an exact superset of the reused-assignment window).
+    # Under rebin amortization pad_px=2 makes the test vacuous (a 4 px-
+    # padded interval always contains an integer), yet measured parameter
+    # drift between rebins is far below 1 px (lr-sized steps; the cache is
+    # invalidated at every surfel-set change anyway) — so trainers set a
+    # tighter snap margin (e.g. 0.5) while keeping the wide tile-overlap
+    # pad.  A culled splat only re-enters at the next rebin, like any
+    # footprint that drifts across a tile boundary.
+    snap_pad_px: float | None = None
 
     def num_tiles(self, height: int, width: int) -> tuple[int, int]:
         """Tile counts with ceiling division — rasters whose dims don't
@@ -208,6 +231,21 @@ def footprint_bounds(grid: rays_lib.SensorGrid, width: int,
     col_half = jnp.minimum(col_half, width / 2.0)
 
     live = (opacities > geometry.ALPHA_MIN) & (rng > geometry.DEPTH_MIN)
+    if cfg.sample_snap:
+        # Integer-sample existence (see TileConfig.sample_snap).  Rows
+        # clip to the physical beam range [0, H-1] (row_of_inclination
+        # extrapolates past the raster; there are no rays out there) —
+        # raster padding duplicates edge rays, adding no new samples.
+        # Columns cover the full azimuth circle at every integer, so the
+        # wrap never changes integer existence.  The test margin is
+        # snap_pad_px (pad_px if unset); row_lo/row_hi/col_half above
+        # already carry pad_px, so shift by the difference.
+        d = 0.0 if cfg.snap_pad_px is None else cfg.pad_px - cfg.snap_pad_px
+        has_row = (jnp.floor(jnp.minimum(row_hi - d, grid.height - 1.0))
+                   >= jnp.ceil(jnp.maximum(row_lo + d, 0.0)))
+        has_col = (jnp.floor(col_c + col_half - d)
+                   >= jnp.ceil(col_c - (col_half - d)))
+        live &= has_row & has_col
     return row_lo, row_hi, col_c, col_half, rng, live
 
 

@@ -108,7 +108,8 @@ def make_sharded_bin_fn(frames: LiDARFrames, args,
     band_w = band_width(frames, mesh)
     tail = int(trace_cfg.tail_passes)
     bin_tile = dataclasses.replace(trace_cfg.tile,
-                                   pad_px=max(trace_cfg.tile.pad_px, 2.0))
+                                   pad_px=max(trace_cfg.tile.pad_px, 2.0),
+                                   snap_pad_px=0.5)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -184,9 +184,12 @@ def make_train_step(frames: LiDARFrames, args,
         return lb.total, aux
 
     # Cache-aware binning: re-bin with padded footprints on stale frames,
-    # reuse the cached assignment otherwise.
+    # reuse the cached assignment otherwise.  The integer-sample existence
+    # cull keeps a tight margin (snap_pad_px) — the wide tile-overlap pad
+    # would make it vacuous, and measured inter-rebin drift is < 1 px.
     bin_tile = dataclasses.replace(trace_cfg.tile,
-                                   pad_px=max(trace_cfg.tile.pad_px, 2.0))
+                                   pad_px=max(trace_cfg.tile.pad_px, 2.0),
+                                   snap_pad_px=0.5)
 
     tail = int(trace_cfg.tail_passes)
     n_passes = tail + 1

@@ -20,6 +20,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/survivor_stats.py
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -108,7 +109,11 @@ def main() -> None:
             # tw rays of its true alpha gate).
             ok_rows = ok.reshape(TILE.tile_h, TILE.tile_w, k)
             n_row_true = jnp.sum(jnp.any(ok_rows, axis=1), axis=-1)  # (th,)
-            return n_alpha, n_live, n_row_true
+            # Per-TILE unique gate-passers: the true K demand of the
+            # flagship tile itself (capped at the K candidates the binner
+            # selected; `truncated` flags saturation).
+            n_tile_true = jnp.sum(jnp.any(ok, axis=0), axis=-1)      # ()
+            return n_alpha, n_live, n_row_true, n_tile_true
 
         b = 8
         nb = -(-t_total // b)
@@ -123,17 +128,58 @@ def main() -> None:
               pad(a.valid).reshape(nb, b, k))
 
         def body(carry, batch):
-            h_alpha, h_live, h_row = carry
-            na, nl, nr = jax.vmap(tile_fn)(batch)
+            h_alpha, h_live, h_row, h_tile = carry
+            na, nl, nr, nt = jax.vmap(tile_fn)(batch)
             h_alpha = h_alpha.at[na.reshape(-1)].add(1)
             h_live = h_live.at[nl.reshape(-1)].add(1)
             h_row = h_row.at[nr.reshape(-1)].add(1)
-            return (h_alpha, h_live, h_row), None
+            h_tile = h_tile.at[nt.reshape(-1)].add(1)
+            return (h_alpha, h_live, h_row, h_tile), None
 
         init = (jnp.zeros(k + 1, jnp.int32), jnp.zeros(k + 1, jnp.int32),
-                jnp.zeros(k + 1, jnp.int32))
-        (h_alpha, h_live, h_row), _ = jax.lax.scan(body, init, xs)
-        return h_alpha, h_live, h_row
+                jnp.zeros(k + 1, jnp.int32), jnp.zeros(k + 1, jnp.int32))
+        (h_alpha, h_live, h_row, h_tile), _ = jax.lax.scan(body, init, xs)
+        return h_alpha, h_live, h_row, h_tile
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def tile_binned_counts(bundle, snap: bool):
+        """Exact per-(8x128)-tile BINNED candidate counts (no K cap) under
+        the box footprint, with/without the integer-sample snap cull — the
+        chunk-skip / truncation profile the kernel actually sees."""
+        from lidar_rt_tpu.ops.binning import footprint_bounds
+        from dataclasses import replace
+        cfg = replace(TILE, sample_snap=snap)
+        row_lo, row_hi, col_c, col_half, rng, live = footprint_bounds(
+            grid, W, w2s, bundle.means, bundle.scales, bundle.opacities,
+            cfg, rotations=bundle.rotations)
+        ty = jnp.arange(tiles_y, dtype=jnp.float32)
+        t_row_lo = ty * th
+        t_row_hi = jnp.minimum((ty + 1) * th, H)
+        sec_c = jnp.arange(tiles_x, dtype=jnp.float32) * tw + tw / 2.0
+
+        def over_n(chunk):
+            rl, rh, cc, ch_, lv = chunk
+            row_in = ((rl[None, :] <= t_row_hi[:, None] - 0.5)
+                      & (rh[None, :] >= t_row_lo[:, None] - 0.5))  # (TY, C)
+            d = jnp.abs((cc[None, :] - sec_c[:, None]
+                         + W / 2.0) % W - W / 2.0)                 # (TX, C)
+            col_in = d <= (ch_[None, :] + tw / 2.0 + 0.5)
+            ov = (row_in[:, None, :] & col_in[None, :, :]
+                  & lv[None, None, :])
+            return jnp.sum(ov, axis=-1).astype(jnp.int32)          # (TY, TX)
+
+        c = 8192
+        nchunks = n // c
+        parts = (row_lo.reshape(nchunks, c), row_hi.reshape(nchunks, c),
+                 col_c.reshape(nchunks, c), col_half.reshape(nchunks, c),
+                 live.reshape(nchunks, c))
+
+        def body(acc, chunk):
+            return acc + over_n(chunk), None
+
+        z = jnp.zeros((tiles_y, tiles_x), jnp.int32)
+        counts, _ = jax.lax.scan(body, z, parts)
+        return counts.reshape(-1)
 
     @jax.jit
     def footprint_row_counts(bundle):
@@ -183,12 +229,17 @@ def main() -> None:
         return box, ell
 
     t0 = time.time()
-    h_alpha, h_live, h_row = jax.block_until_ready(stats(bundle))
+    h_alpha, h_live, h_row, h_tile = jax.block_until_ready(stats(bundle))
     h_alpha = np.asarray(h_alpha, np.float64)
     h_live = np.asarray(h_live, np.float64)
     h_row = np.asarray(h_row, np.float64)
+    h_tile = np.asarray(h_tile, np.float64)
     box, ell = jax.block_until_ready(footprint_row_counts(bundle))
     box, ell = np.asarray(box).ravel(), np.asarray(ell).ravel()
+    tc_raw = np.asarray(jax.block_until_ready(
+        tile_binned_counts(bundle, False)))
+    tc_snap = np.asarray(jax.block_until_ready(
+        tile_binned_counts(bundle, True)))
     print(f"computed in {time.time() - t0:.1f} s "
           f"({int(h_alpha.sum())} rays incl. tile padding)")
 
@@ -220,6 +271,21 @@ def main() -> None:
 
     describe_arr("row-sector BOX footprint count    ", box)
     describe_arr("row-sector ELLIPSE-slice count    ", ell)
+
+    describe("n_tile_true (unique gate-passing per 8x128 TILE, of its K)",
+             h_tile)
+
+    def describe_tiles(name, v):
+        print(f"{name}: mean {v.mean():.1f}  p50 {np.percentile(v, 50):.0f}"
+              f"  p90 {np.percentile(v, 90):.0f}"
+              f"  p99 {np.percentile(v, 99):.0f}  max {v.max()}  "
+              f"frac<=128 {np.mean(v <= 128):.4f}  "
+              f"frac<=256 {np.mean(v <= 256):.4f}")
+
+    describe_tiles("8x128-tile binned count, snap OFF", tc_raw)
+    describe_tiles("8x128-tile binned count, snap ON ", tc_snap)
+    print(f"snap cull: binned pairs {tc_raw.sum()} -> {tc_snap.sum()} "
+          f"({tc_snap.sum() / max(tc_raw.sum(), 1):.3f}x)")
 
 
 if __name__ == "__main__":

@@ -53,6 +53,23 @@ class TestConfigTree:
             assert args.data_type == "KITTI"
             assert "kitti360" in str(args.source_dir)
 
+    def test_exp_config_wins_over_data_chain(self, tmp_path):
+        """The reference parses the experiment config FIRST and its merge
+        keeps already-present keys (lib/arguments/__init__.py:32-42,
+        train.py:518-519): a data config — including defaults dragged in by
+        its parent_config chain — must never override experiment values."""
+        parent = tmp_path / "parent.yaml"
+        parent.write_text("model:\n  voxel_size: 0.15\n  obj_pt_num: 10000\n")
+        data = tmp_path / "data.yaml"
+        data.write_text(f"parent_config: \"{parent}\"\n"
+                        "source_dir: /data/x\nscene_id: s1\n")
+        exp = tmp_path / "exp.yaml"
+        exp.write_text("model:\n  voxel_size: 0.35\ntask_name: t\n")
+        args = parse(str(data), parse(str(exp)))
+        assert float(args.model.voxel_size) == 0.35   # exp wins
+        assert int(args.model.obj_pt_num) == 10000    # chain fills gaps
+        assert str(args.source_dir) == "/data/x"      # data keys arrive
+
     @pytest.mark.parametrize("path,loader", [(WAYMO[0], "waymo"),
                                              (KITTI[0], "kitti360")])
     def test_dispatches_to_loader(self, path, loader, monkeypatch):

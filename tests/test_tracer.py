@@ -86,6 +86,70 @@ class TestBinning:
                                   jnp.full((1,), 1e-4), cfg)
         assert not bool(asn.valid.any())
 
+    def test_sample_snap_culls_between_rows(self):
+        """A splat whose sub-pixel row footprint sits strictly between two
+        integer beam rows touches no ray sample: sample_snap drops it, and
+        with the cull off it is listed but renders to exactly background
+        (the cull is output-exact by construction)."""
+        # GRID is from_bounds(32, (-0.3, 0.1)): row r (fractional) sits at
+        # inclination ((32 - r)/32) * 0.4 - 0.3.  Target a half-integer row.
+        frac_row = 10.5
+        incl = ((32 - frac_row) / 32) * 0.4 - 0.3
+        d = 30.0
+        means = jnp.array([[d * np.cos(incl), 0.0, d * np.sin(incl)]])
+        # Flat disk seen nearly edge-on in elevation: identity quat ->
+        # normal +z, tiny angular row extent at 30 m.
+        scales = jnp.array([[0.12, 0.12]])
+        opac = jnp.full((1,), 0.9)
+        cfg = binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=4,
+                                 sample_snap=False)
+        rot = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+        asn_off = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), means,
+                                      scales, opac, cfg, rotations=rot)
+        asn_on = binning.bin_surfels(
+            GRID, WIDTH, jnp.eye(4), means, scales, opac,
+            dataclasses.replace(cfg, sample_snap=True), rotations=rot)
+        assert bool(asn_off.valid.any())      # continuous footprint overlaps
+        assert not bool(asn_on.valid.any())   # no integer sample inside
+        # Output exactness: the uncaulled render equals pure background.
+        bundle = composite.SurfelBundle(
+            means=means, rotations=rot, scales=scales, opacities=opac,
+            sh=jnp.zeros((1, 16, 3)))
+        cfg_t = tracer.TraceConfig(tile=cfg, engine="jax")
+        out = tracer.trace(bundle, GRID, WIDTH, S2W, BG, cfg=cfg_t)
+        empty = tracer.trace(
+            composite.SurfelBundle(
+                means=means, rotations=rot, scales=scales,
+                opacities=jnp.zeros((1,)), sh=jnp.zeros((1, 16, 3))),
+            GRID, WIDTH, S2W, BG, cfg=cfg_t)
+        np.testing.assert_allclose(np.asarray(out.channels),
+                                   np.asarray(empty.channels), atol=1e-6)
+
+    def test_snap_pad_margin(self):
+        """snap_pad_px widens the existence test independently of pad_px:
+        at snap_pad 0.5 a footprint within 0.5 px of an integer row
+        survives the cull."""
+        frac_row = 10.6   # 0.4 px from row 11 -> inside the 0.5 margin
+        incl = ((32 - frac_row) / 32) * 0.4 - 0.3
+        d = 30.0
+        means = jnp.array([[d * np.cos(incl), 0.0, d * np.sin(incl)]])
+        scales = jnp.array([[0.12, 0.12]])
+        opac = jnp.full((1,), 0.9)
+        rot = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+        base = binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=4,
+                                  pad_px=2.0, snap_pad_px=0.0)
+        tight = binning.bin_surfels(GRID, WIDTH, jnp.eye(4), means, scales,
+                                    opac, base, rotations=rot)
+        loose = binning.bin_surfels(
+            GRID, WIDTH, jnp.eye(4), means, scales, opac,
+            dataclasses.replace(base, snap_pad_px=0.5), rotations=rot)
+        vacuous = binning.bin_surfels(
+            GRID, WIDTH, jnp.eye(4), means, scales, opac,
+            dataclasses.replace(base, snap_pad_px=None), rotations=rot)
+        assert not bool(tight.valid.any())
+        assert bool(loose.valid.any())
+        assert bool(vacuous.valid.any())      # pad_px=2 margin is vacuous
+
 
 class TestTracerForwardParity:
     @pytest.mark.parametrize("exact_order", [True, False])
