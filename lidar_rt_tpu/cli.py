@@ -58,8 +58,14 @@ def load_dataset(args):
 
 
 def _model_dir(args) -> str:
-    return os.path.join(str(args.model_dir), str(args.task_name),
-                        str(args.exp_name))
+    """output/<task>/<exp>/scene_<id> — the reference's layout
+    (train.py:83-85), so scenes sharing an experiment config don't clobber
+    each other's checkpoints/metrics."""
+    parts = [str(args.model_dir), str(args.task_name), str(args.exp_name)]
+    sid = args.get("scene_id", "")
+    if str(sid):
+        parts.append(f"scene_{sid}")
+    return os.path.join(*parts)
 
 
 def _trace_cfg(args):
@@ -84,10 +90,18 @@ def main_train(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("-dc", "--data_config", required=True)
     p.add_argument("-ec", "--exp_config", required=True)
-    p.add_argument("-m", "--model_path", default=None)
-    p.add_argument("-r", "--resume", action="store_true")
+    p.add_argument("-m", "--model_path", default=None,
+                   help="checkpoint to resume from (reference train.py -m)")
+    p.add_argument("-r", "--only_refine", action="store_true",
+                   help="skip gaussian optimization; only refine the UNet "
+                        "from the -m checkpoint (reference train.py "
+                        "--only_refine)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the best checkpoint in model_dir")
     p.add_argument("--iterations", type=int, default=None)
     a = p.parse_args(argv)
+    if a.only_refine and not (a.model_path or a.resume):
+        p.error("-r/--only_refine needs -m (a trained model to refine)")
 
     args = config_lib.parse(a.data_config, config_lib.parse(a.exp_config))
     set_seed(int(args.get("seed", 1)))
@@ -110,11 +124,22 @@ def main_train(argv=None) -> None:
                                                                "models"))
         if path:
             state, meta = ckpt_lib.load(path)
-            trainer.state = jax.tree.map(lambda x: x, state)
+            from lidar_rt_tpu.scene import Scene
+            if isinstance(state, Scene):
+                # A bare Scene (e.g. a reference checkpoint converted by
+                # scripts/import_reference_ckpt.py): rebuild the trainer
+                # around it — fresh optimizer moments, imported parameters.
+                trainer = loop_lib.Trainer(state, frames, args,
+                                           _trace_cfg(args))
+                trainer.snapshot_dir = os.path.join(model_dir, "snapshots")
+            else:
+                trainer.state = jax.tree.map(lambda x: x, state)
             trainer.iteration = int(meta.get("iteration", 0))
             print(f"resumed from {path} @ iteration {trainer.iteration}")
 
     total = a.iterations or int(args.opt.iterations)
+    if a.only_refine:
+        total = trainer.iteration   # skip the optimization loop entirely
     testing_every = int(args.get("testing_iterations", 1000))
     saving = set(args.get("saving_iterations", []))
     best_psnr = -1.0
@@ -167,8 +192,8 @@ def main_train(argv=None) -> None:
               f"{mean_psnr:.2f}{' *best*' if is_best else ''} "
               f"alive {hist[-1]['alive']}")
 
-    # ray-drop refinement phase (train.py:386-447)
-    if bool(args.refine.use_refine):
+    # ray-drop refinement phase (train.py:386-447); -r forces it
+    if a.only_refine or bool(args.refine.use_refine):
         from lidar_rt_tpu.train import refine as refine_lib
         train_ids = frames.train_frames or list(range(frames.num_frames))
         use_spatial = bool(args.refine.use_spatial)
@@ -188,7 +213,40 @@ def main_train(argv=None) -> None:
     with open(os.path.join(model_dir, "logs", "log.json"), "w") as fp:
         json.dump({"history": trainer.history,
                    "densify": trainer.densify_log}, fp, indent=1)
+    _write_log_plot(os.path.join(model_dir, "logs", "log.png"),
+                    trainer.history, trainer.densify_log)
     recorder.close()
+
+
+def _write_log_plot(path: str, history: list[dict],
+                    densify_log: list[dict]) -> None:
+    """logs/log.png: loss curve + surfel-count/densify-event history — the
+    reference's training plot (train.py:450-501, depth MSE + clone/split/
+    prune stacks), on our recorded quantities."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    its = [h["iteration"] for h in history if "loss" in h]
+    loss = [h["loss"] for h in history if "loss" in h]
+    fig, ax1 = plt.subplots(figsize=(8, 6))
+    ax1.plot(its, loss, color="tab:blue", lw=0.8)
+    ax1.set_xlabel("iteration")
+    ax1.set_ylabel("loss", color="tab:blue")
+    ax1.set_yscale("log")
+    ax2 = ax1.twinx()
+    alive_pts = [(h["iteration"], h["alive"]) for h in history
+                 if "alive" in h]
+    if alive_pts:
+        ax2.plot(*zip(*alive_pts), color="tab:red")
+        ax2.set_ylabel("alive surfels", color="tab:red")
+    for ev in densify_log:
+        ax1.axvline(ev.get("iteration", 0), color="gray", alpha=0.15, lw=0.5)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
 
 
 def main_eval(argv=None) -> None:
@@ -199,7 +257,14 @@ def main_eval(argv=None) -> None:
     p.add_argument("-un", "--unet_path", default=None)
     p.add_argument("-t", "--eval_type", default="test",
                    choices=["train", "test", "all"])
-    p.add_argument("--use_gt_mask", action="store_true")
+    # Artifact switches (reference eval.py:549-556).
+    p.add_argument("-e", "--save_eval", action="store_true",
+                   help="write results_all.json + per-frame metrics")
+    p.add_argument("-i", "--save_image", action="store_true",
+                   help="write gt/pred PNG snapshots + depth animation")
+    p.add_argument("-p", "--save_pcd", action="store_true",
+                   help="write gt/pred PLY pairs")
+    p.add_argument("-u", "--use_gt_mask", action="store_true")
     a = p.parse_args(argv)
 
     args = config_lib.parse(a.data_config, config_lib.parse(a.exp_config))
@@ -239,5 +304,6 @@ def main_eval(argv=None) -> None:
     runner = EvalRunner(scene, frames, args, _trace_cfg(args),
                         unet_apply=unet_apply, use_gt_mask=a.use_gt_mask)
     out_dir = os.path.join(model_dir, "metrics")
-    results = runner.run(a.eval_type, out_dir)
+    results = runner.run(a.eval_type, out_dir, save_images=a.save_image,
+                         save_pcds=a.save_pcd, save_metrics=a.save_eval)
     print(json.dumps(results["mean"], indent=2))

@@ -191,11 +191,14 @@ def default_experiment() -> Args:
             "use_rayhit": True,
             "use_normal_init": True,
             "use_voxel_init": True,
-            # Rebin-interval amortization: re-bin a frame's tile assignment
-            # every N renders of that frame (0 = bin every step, the
-            # reference's rebuild-the-BVH-every-iteration behavior).  The
-            # cache is invalidated at every densify / opacity-reset event
-            # regardless, so staleness never crosses a surfel-set change.
+            # Rebin-interval amortization: reuse a frame's cached tile
+            # assignment until it is N GLOBAL optimizer steps old (0 = bin
+            # every step, the reference's rebuild-the-BVH-every-iteration
+            # behavior).  Global steps, not per-frame renders: parameter
+            # drift accrues per step, so a 50-frame scene must rebin as
+            # often as a 4-frame one.  The cache is invalidated at every
+            # densify / opacity-reset event regardless, so staleness never
+            # crosses a surfel-set change.
             "rebin_interval": 0,
         },
         "refine": {

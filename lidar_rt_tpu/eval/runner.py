@@ -133,9 +133,12 @@ class EvalRunner:
                 gt2, np.asarray(r2["depth"]) * mask2, self.max_depth)
         return out
 
-    def save_frame_images(self, f: int, output_dir: str) -> None:
+    def save_frame_images(self, f: int, output_dir: str,
+                          save_png: bool = True,
+                          save_pcd: bool = True) -> None:
         """gt/pred depth, intensity, rayhit snapshot PNGs with the
-        reference's masking/colormap treatment (eval.py:147-229,456-476)."""
+        reference's masking/colormap treatment (eval.py:147-229,456-476);
+        save_pcd adds the gt/pred PLY pair (eval.py:478-486)."""
         from lidar_rt_tpu.utils.export import colormap, write_png, write_ply
 
         r = self.record_render(f)
@@ -161,31 +164,41 @@ class EvalRunner:
                             np.repeat(r["rayhit"][..., None], 3, -1)],
                            axis=1).astype(np.float32),
         ]
-        write_png(os.path.join(output_dir, f"frame_{f:04d}.png"),
-                  np.concatenate(rows, axis=0))
-        write_ply(os.path.join(output_dir, f"gt_{f:04d}.ply"), r["gt_pts"])
-        write_ply(os.path.join(output_dir, f"pred_{f:04d}.ply"),
-                  r["pred_pts"])
+        if save_png:
+            write_png(os.path.join(output_dir, f"frame_{f:04d}.png"),
+                      np.concatenate(rows, axis=0))
+        if save_pcd:
+            write_ply(os.path.join(output_dir, f"gt_{f:04d}.ply"),
+                      r["gt_pts"])
+            write_ply(os.path.join(output_dir, f"pred_{f:04d}.ply"),
+                      r["pred_pts"])
 
     def run(self, eval_type: str = "test", output_dir: str | None = None,
-            save_images: bool = False) -> dict:
+            save_images: bool = False, save_pcds: bool | None = None,
+            save_metrics: bool = True) -> dict:
         """Aggregate means over frames -> results dict; optionally writes
         results_all.json + per-frame json (eval.py:488-520) and image/PLY
-        artifacts."""
+        artifacts.  save_pcds defaults to save_images; the CLI's -e/-i/-p
+        map to save_metrics/save_images/save_pcds (eval.py:549-556)."""
+        if save_pcds is None:
+            save_pcds = save_images
         frame_ids = self._frame_ids(eval_type)
         per_frame = {f: self.evaluate_frame(f) for f in frame_ids}
-        if save_images and output_dir:
+        if (save_images or save_pcds) and output_dir:
             for f in frame_ids:
-                self.save_frame_images(f, os.path.join(output_dir, "images"))
-            # 5 fps depth animation (eval.py:522-524's video equivalent)
-            from lidar_rt_tpu.utils.export import colormap, write_apng
-            vids = []
-            for f in frame_ids:
-                r = self.record_render(f)
-                scale = max(float(r["gt_depth"].max()), 1e-6)
-                vids.append(colormap(r["depth"] / scale))
-            write_apng(os.path.join(output_dir, "depth_anim.png"), vids,
-                       fps=5)
+                self.save_frame_images(f, os.path.join(output_dir, "images"),
+                                       save_png=save_images,
+                                       save_pcd=save_pcds)
+            if save_images:
+                # 5 fps depth animation (eval.py:522-524's video equivalent)
+                from lidar_rt_tpu.utils.export import colormap, write_apng
+                vids = []
+                for f in frame_ids:
+                    r = self.record_render(f)
+                    scale = max(float(r["gt_depth"].max()), 1e-6)
+                    vids.append(colormap(r["depth"] / scale))
+                write_apng(os.path.join(output_dir, "depth_anim.png"), vids,
+                           fps=5)
 
         agg: dict[str, dict[str, float]] = {}
         groups = sorted({g for f in frame_ids for g in per_frame[f]})
@@ -213,7 +226,7 @@ class EvalRunner:
         results = {"eval_type": eval_type, "num_frames": len(frame_ids),
                    "mean": agg,
                    "per_frame": {str(f): per_frame[f] for f in frame_ids}}
-        if output_dir:
+        if output_dir and save_metrics:
             os.makedirs(output_dir, exist_ok=True)
             with open(os.path.join(output_dir, "results_all.json"), "w") as fp:
                 json.dump(results, fp, indent=2)

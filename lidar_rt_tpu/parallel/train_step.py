@@ -138,12 +138,16 @@ def make_sharded_bin_fn(frames: LiDARFrames, args,
             d = new.astype(jnp.int32) - old.astype(jnp.int32)
             return old.astype(jnp.int32) + jax.lax.psum(d, "dp")
 
+        # Ages advance for EVERY frame each step (global-step staleness,
+        # matching the single-chip cache): drift accrues per optimizer
+        # step, so staleness must not scale with the frame count.
+        base_age = bins.age + 1
         new_bins = BinCache(
             index=merged(bins.index, bins.index.at[f].set(idx)),
             valid=merged(bins.valid, bins.valid.at[f].set(val)) > 0,
-            age=merged(bins.age,
-                       bins.age.at[f].set(jnp.where(stale, 1,
-                                                    bins.age[f] + 1))))
+            age=merged(base_age,
+                       base_age.at[f].set(jnp.where(stale, 1,
+                                                    base_age[f]))))
         return idx[None], val[None], new_bins
 
     return bin_fn

@@ -59,8 +59,10 @@ class BinCache(NamedTuple):
     densification events surfel positions drift by only ~lr-sized amounts,
     so a frame's assignment binned with a few pixels of footprint padding
     (TileConfig.pad_px) stays a superset of the true candidate set for many
-    steps.  `age[f]` counts renders since frame f was last binned; densify /
-    opacity-reset / capacity events invalidate the whole cache.
+    steps.  `age[f]` counts GLOBAL optimizer steps since frame f was last
+    binned (every step ages every frame's cache — drift accrues per step,
+    not per render, so staleness must not scale with the frame count);
+    densify / opacity-reset / capacity events invalidate the whole cache.
 
     P (= tail_passes + 1) caches the whole tail re-trace chain per frame:
     pass p's assignment is binned strictly past pass p-1's per-tile K-th
@@ -121,10 +123,11 @@ def make_train_step(frames: LiDARFrames, args,
 
     rebin_every > 0 enables rebin-interval amortization: the step renders
     with the frame's cached tile assignment (state.bins) and re-bins it only
-    when its age reaches `rebin_every` renders (lax.cond — the binning work
-    is skipped entirely on cache hits).  The Trainer invalidates the cache
-    at every densify / opacity-reset event, so staleness is bounded by
-    min(rebin_every frame visits, one densification interval).
+    when its age reaches `rebin_every` GLOBAL optimizer steps (lax.cond —
+    the binning work is skipped entirely on cache hits).  The Trainer
+    invalidates the cache at every densify / opacity-reset event, so
+    staleness is bounded by min(rebin_every steps, one densification
+    interval) regardless of the scene's frame count.
     """
     lw = losses.LossWeights(
         depth_l1=args.opt.lambda_depth_l1,
@@ -218,10 +221,15 @@ def make_train_step(frames: LiDARFrames, args,
         idx, val = jax.lax.cond(
             stale, fresh, lambda: (bins.index[f], bins.valid[f]))
         t_total = idx.shape[1]
+        # Ages advance for EVERY frame each step (global-step staleness):
+        # parameter drift is per optimizer step, not per render of the same
+        # frame, so a 50-frame scene must not wait 50x longer between
+        # rebins of a frame than a 4-frame scene does.
         new_bins = BinCache(
             index=bins.index.at[f].set(idx),
             valid=bins.valid.at[f].set(val),
-            age=bins.age.at[f].set(jnp.where(stale, 1, bins.age[f] + 1)))
+            age=(bins.age + 1).at[f].set(jnp.where(stale, 1,
+                                                   bins.age[f] + 1)))
 
         def mk(p):
             return TileAssignment(

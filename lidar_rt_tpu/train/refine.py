@@ -49,7 +49,15 @@ def collect_inputs(render_fn, frames: LiDARFrames, frame_ids: list[int],
 def train_unet(inputs: np.ndarray, labels: np.ndarray, *, epochs: int = 400,
                batch_size: int = 16, lr: float = 1e-3, seed: int = 0,
                use_rot: bool = False) -> tuple[RayDropUNet, Any, list[float]]:
-    """Returns (module, variables, loss history)."""
+    """Returns (module, variables, loss history).
+
+    The whole dataset lives device-resident and each epoch is ONE jitted
+    dispatch (a lax.scan over shuffled frames with in-scan gradient
+    accumulation).  The reference iterates frames from python
+    (train.py:391-445), which costs an upload + a blocking loss fetch per
+    frame per epoch — through a remote-device link that dominates the whole
+    phase (~1s x frames x epochs).
+    """
     model = RayDropUNet(in_ch=inputs.shape[-1])
     key = jax.random.key(seed)
     key, k_init = jax.random.split(key)
@@ -59,8 +67,11 @@ def train_unet(inputs: np.ndarray, labels: np.ndarray, *, epochs: int = 400,
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+    x_all = jnp.asarray(inputs)          # (F, H, W, C), uploaded once
+    y_all = jnp.asarray(labels)
+    n = inputs.shape[0]
+    zero_g = jax.tree.map(jnp.zeros_like, params)
 
-    @jax.jit
     def grad_one(params, batch_stats, x, y, drop_key):
         def loss_fn(p):
             out, updates = model.apply(
@@ -74,43 +85,61 @@ def train_unet(inputs: np.ndarray, labels: np.ndarray, *, epochs: int = 400,
             params)
         return loss, g, new_stats
 
-    @jax.jit
-    def apply_updates(params, opt_state, grads):
-        upd, opt_state = opt.update(grads, opt_state, params)
+    def apply_accum(params, opt_state, accum, count):
+        upd, opt_state = opt.update(
+            jax.tree.map(lambda v: v / count.astype(jnp.float32), accum),
+            opt_state, params)
         return optax.apply_updates(params, upd), opt_state
 
+    @jax.jit
+    def epoch_fn(params, batch_stats, opt_state, perm, key):
+        def body(carry, f):
+            params, batch_stats, opt_state, accum, count, key = carry
+            x = x_all[f][None]
+            y = y_all[f][None]
+            key, k_drop, k_roll = jax.random.split(key, 3)
+            if use_rot:
+                # Random azimuth roll augment (train.py:419-424): rays wrap,
+                # so rolling the raster is pose-consistent.
+                shift = jax.random.randint(k_roll, (), 0, x.shape[2])
+                x = jnp.roll(x, shift, axis=2)
+                y = jnp.roll(y, shift, axis=2)
+            loss, g, batch_stats = grad_one(params, batch_stats, x, y,
+                                            k_drop)
+            accum = jax.tree.map(jnp.add, accum, g)
+            count = count + 1
+            full = count == batch_size
+            params, opt_state, accum = jax.lax.cond(
+                full,
+                lambda a: (*apply_accum(a[0], a[1], a[2], jnp.asarray(
+                    batch_size, jnp.int32)), zero_g),
+                lambda a: a,
+                (params, opt_state, accum))
+            count = jnp.where(full, 0, count)
+            return (params, batch_stats, opt_state, accum, count, key), loss
+
+        carry = (params, batch_stats, opt_state, zero_g, jnp.int32(0), key)
+        carry, losses = jax.lax.scan(body, carry, perm)
+        params, batch_stats, opt_state, accum, count, key = carry
+        # trailing partial batch (reference divides by the remainder)
+        params, opt_state = jax.lax.cond(
+            count > 0,
+            lambda a: apply_accum(a[0], a[1], accum,
+                                  jnp.maximum(count, 1)),
+            lambda a: (a[0], a[1]),
+            (params, opt_state))
+        return params, batch_stats, opt_state, jnp.mean(losses)
+
     rng = random.Random(seed)
-    n = inputs.shape[0]
     history = []
-    for epoch in range(epochs):
+    for _ in range(epochs):
         order = list(range(n))
         rng.shuffle(order)
-        accum = None
-        count = 0
-        epoch_loss = 0.0
-        for i in order:
-            x = inputs[i:i + 1]
-            y = labels[i:i + 1]
-            if use_rot:
-                shift = rng.randrange(x.shape[2])
-                x = np.roll(x, shift, axis=2)
-                y = np.roll(y, shift, axis=2)
-            key, k_drop = jax.random.split(key)
-            loss, g, batch_stats = grad_one(params, batch_stats,
-                                            jnp.asarray(x), jnp.asarray(y),
-                                            k_drop)
-            epoch_loss += float(loss)
-            accum = g if accum is None else jax.tree.map(jnp.add, accum, g)
-            count += 1
-            if count == batch_size:
-                params, opt_state = apply_updates(
-                    params, opt_state,
-                    jax.tree.map(lambda v: v / batch_size, accum))
-                accum, count = None, 0
-        if accum is not None:
-            params, opt_state = apply_updates(
-                params, opt_state, jax.tree.map(lambda v: v / count, accum))
-        history.append(epoch_loss / n)
+        key, k_epoch = jax.random.split(key)
+        params, batch_stats, opt_state, mean_loss = epoch_fn(
+            params, batch_stats, opt_state, jnp.asarray(order, jnp.int32),
+            k_epoch)
+        history.append(float(mean_loss))
     return model, {"params": params, "batch_stats": batch_stats}, history
 
 

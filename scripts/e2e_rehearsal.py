@@ -179,7 +179,7 @@ def run_cli(kind: str, which: str) -> float:
     script = os.path.join(REPO, "train.py" if kind == "train" else "eval.py")
     cmd = [sys.executable, script, "-dc", dc, "-ec", ec]
     if kind == "eval":
-        cmd += ["-t", "all"]
+        cmd += ["-t", "all", "-e", "-i"]   # save metrics json + images
     env = dict(os.environ,
                PYTHONPATH=f"{REPO}:/root/.axon_site")
     print("+", " ".join(cmd), flush=True)
@@ -197,7 +197,7 @@ def collect() -> None:
                        "7.5x; densify 300-2000/100, opacity reset 1000), "
                        "UNet refine 40 epochs", "results": {}}
     for which, scene_id in (("waymo", "we1"), ("kitti360", "ke1")):
-        mdir = os.path.join(OUT, scene_id)
+        mdir = os.path.join(OUT, "exp", f"scene_{scene_id}")
         res_path = os.path.join(mdir, "metrics", "results_all.json")
         entry = {}
         if os.path.exists(res_path):

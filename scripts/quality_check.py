@@ -60,6 +60,9 @@ CONFIGS = [
                 approx_topk=True, pad_px=2.0), None,
      {"rebin_interval": 10}, 512, 1),
 ]
+# (K=192 was considered from the survivor-stats per-tile demand — unique
+# gate-passers p50 212 / max 240 — but K must be a multiple of the 128-lane
+# chunk, and Mosaic pads lane dims to 128 anyway, so 192 computes like 256.)
 
 
 def masked_eval(out, frames, f):

@@ -139,15 +139,20 @@ class TestUNet:
         inputs = rng.uniform(size=(n, h, w, 3)).astype(np.float32)
         labels = (inputs[..., 2:3] > 0.5).astype(np.float32)
         model, variables, hist = refine.train_unet(
-            inputs, labels, epochs=12, batch_size=2, lr=3e-3)
-        assert hist[-1] < hist[0]
-        out = refine.apply_unet(model, variables,
-                                jnp.asarray(inputs[0, ..., 0]),
-                                jnp.asarray(inputs[0, ..., 1]),
-                                jnp.asarray(inputs[0, ..., 2]))
-        pred = np.asarray(out) > 0.5
-        acc = (pred == (labels[0, ..., 0] > 0.5)).mean()
-        assert acc > 0.7
+            inputs, labels, epochs=24, batch_size=2, lr=3e-3)
+        assert hist[-1] < 0.5 * hist[0]
+        # Accuracy over ALL frames: eval-mode BatchNorm running stats are
+        # noisy on a 4-sample toy set, so a single frame's accuracy can
+        # swing +-0.15 with benign float-scheduling differences.
+        accs = []
+        for f in range(n):
+            out = refine.apply_unet(model, variables,
+                                    jnp.asarray(inputs[f, ..., 0]),
+                                    jnp.asarray(inputs[f, ..., 1]),
+                                    jnp.asarray(inputs[f, ..., 2]))
+            pred = np.asarray(out) > 0.5
+            accs.append((pred == (labels[f, ..., 0] > 0.5)).mean())
+        assert np.mean(accs) > 0.75, accs
 
 
 class TestEvalArtifacts:

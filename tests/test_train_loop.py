@@ -284,6 +284,23 @@ class TestRebinAmortization:
         s4, _ = trainer.step_fn(s3, batch)
         assert int(s4.bins.age[f]) == 1               # age expired: re-bin
 
+    def test_ages_advance_globally(self):
+        """Every frame's cache ages on every optimizer step — per-frame
+        render counting would let staleness scale with the frame count (a
+        50-frame scene would rebin 50x less often per unit drift, which
+        measurably degrades training after densification ends)."""
+        trainer, frames = self._setup(rebin_interval=100, num_frames=2)
+        b0 = loop.frame_batch(frames, 0)
+        b1 = loop.frame_batch(frames, 1)
+        s, _ = trainer.step_fn(trainer.state, b0)   # bins frame 0
+        s, _ = trainer.step_fn(s, b1)               # bins frame 1
+        assert int(s.bins.age[0]) == 2              # aged by frame 1's step
+        assert int(s.bins.age[1]) == 1
+        s, _ = trainer.step_fn(s, b1)
+        s, _ = trainer.step_fn(s, b1)
+        assert int(s.bins.age[0]) == 4              # keeps aging unrendered
+        assert int(s.bins.age[1]) == 3
+
     def test_training_quality_with_rebin(self):
         """A short cached-binning run must converge like bin-every-step:
         same scene, same seed, depth error within a modest factor."""
