@@ -30,10 +30,12 @@ WARMUP, ITERS = 2, 20
 # flagship): BENCH_TILE_H, BENCH_K, BENCH_TAIL, BENCH_RAY_BLOCK.
 import os as _os
 _TILE_H = int(_os.environ.get("BENCH_TILE_H", 8))
+_TILE_W = int(_os.environ.get("BENCH_TILE_W", 128))
 _K = int(_os.environ.get("BENCH_K", 256))
 _TAIL = int(_os.environ.get("BENCH_TAIL", 0))
 _RAY_BLOCK = int(_os.environ.get("BENCH_RAY_BLOCK", 512))
 _EXACT = bool(int(_os.environ.get("BENCH_EXACT", 0)))
+_MACRO = int(_os.environ.get("BENCH_MACRO_COLS", 0))
 # Rebin-interval amortization (train/loop.py BinCache): the tile assignment
 # is a stop-gradient visibility oracle re-binned every REBIN_EVERY renders
 # of a frame, not every step (quality-validated at training scale by
@@ -99,8 +101,8 @@ def main() -> None:
     # 3.1e-3, grad cosines >= 0.9996) and the escalating hang probe
     # (scripts/fast_math_probe.sh: PASS all sizes post MXU-hoist).
     cfg = tracer_lib.TraceConfig(
-        tile=TileConfig(tile_h=_TILE_H, tile_w=128, max_per_tile=_K,
-                        binner="hier", approx_topk=True,
+        tile=TileConfig(tile_h=_TILE_H, tile_w=_TILE_W, max_per_tile=_K,
+                        binner="hier", approx_topk=True, macro_cols=_MACRO,
                         pad_px=REBIN_PAD_PX, snap_pad_px=0.5),
         exact_order=_EXACT, ray_block=_RAY_BLOCK, fast_math=True,
         tail_passes=_TAIL)

@@ -69,21 +69,43 @@ def _model_dir(args) -> str:
 
 
 def _trace_cfg(args):
+    """Tracer config from the `tracer:` yaml block.  Every fallback reads
+    the flagship defaults (ops/tracer.FLAGSHIP_TILE / TraceConfig()) — one
+    source of truth, asserted by tests/test_configs.py."""
+    import dataclasses
+
     from lidar_rt_tpu.ops import tracer as tracer_lib
     from lidar_rt_tpu.ops.binning import TileConfig
     t = args.get("tracer")
     kw = t.to_dict() if t is not None else {}
+    ft = tracer_lib.FLAGSHIP_TILE
+    fd = tracer_lib.TraceConfig()
     tile = TileConfig(
-        tile_h=int(kw.get("tile_h", 32)), tile_w=int(kw.get("tile_w", 128)),
-        max_per_tile=int(kw.get("max_per_tile", 512)),
-        binner=str(kw.get("binner", "topk")),
-        coarse_factor=int(kw.get("coarse_factor", 8)),
-        approx_topk=bool(kw.get("approx_topk", False)))
-    return tracer_lib.TraceConfig(
-        tile=tile, exact_order=bool(kw.get("exact_order", True)),
-        tile_batch=int(kw.get("tile_batch", 4)),
-        fast_math=bool(kw.get("fast_math", False)),
-        tail_passes=int(kw.get("tail_passes", 0)))
+        tile_h=int(kw.get("tile_h", ft.tile_h)),
+        tile_w=int(kw.get("tile_w", ft.tile_w)),
+        max_per_tile=int(kw.get("max_per_tile", ft.max_per_tile)),
+        binner=str(kw.get("binner", ft.binner)),
+        coarse_factor=int(kw.get("coarse_factor", ft.coarse_factor)),
+        macro_cols=int(kw.get("macro_cols", ft.macro_cols)),
+        approx_topk=bool(kw.get("approx_topk", ft.approx_topk)))
+    cfg = tracer_lib.TraceConfig(
+        tile=tile, exact_order=bool(kw.get("exact_order", fd.exact_order)),
+        tile_batch=int(kw.get("tile_batch", fd.tile_batch)),
+        ray_block=int(kw.get("ray_block", fd.ray_block)),
+        fast_math=bool(kw.get("fast_math", fd.fast_math)),
+        tail_passes=int(kw.get("tail_passes", fd.tail_passes)))
+    # Warmup-K schedule (Trainer warmup_cfg): a larger candidate budget
+    # until `warmup_until` (default densify_until_iter) absorbs the huge
+    # pre-prune footprints — the reference's unbounded k-buffer re-launch
+    # behavior (forward.cu:282-291) for early training.
+    warmup_cfg = None
+    if "warmup_max_per_tile" in kw:
+        warmup_cfg = dataclasses.replace(
+            cfg, tile=dataclasses.replace(
+                tile, max_per_tile=int(kw["warmup_max_per_tile"])))
+    warmup_until = kw.get("warmup_until")
+    return cfg, warmup_cfg, (int(warmup_until)
+                             if warmup_until is not None else None)
 
 
 def main_train(argv=None) -> None:
@@ -113,7 +135,10 @@ def main_train(argv=None) -> None:
 
     from lidar_rt_tpu.train import loop as loop_lib
     scene = build_lib.assemble_scene(frames, tracks, args)
-    trainer = loop_lib.Trainer(scene, frames, args, _trace_cfg(args))
+    cfg, warmup_cfg, warmup_until = _trace_cfg(args)
+    trainer = loop_lib.Trainer(scene, frames, args, cfg,
+                               warmup_cfg=warmup_cfg,
+                               warmup_until=warmup_until)
     trainer.snapshot_dir = os.path.join(model_dir, "snapshots")
     if bool(args.get("detect_anomaly", False)):
         from lidar_rt_tpu.utils.profiling import enable_anomaly_detection
@@ -122,6 +147,11 @@ def main_train(argv=None) -> None:
     if a.resume or a.model_path:
         path = a.model_path or ckpt_lib.find_best(os.path.join(model_dir,
                                                                "models"))
+        if path is None and a.only_refine:
+            # --only_refine without an actual checkpoint would silently
+            # refine a freshly initialized scene.
+            p.error(f"--only_refine: no checkpoint found under "
+                    f"{model_dir}/models (and no -m given)")
         if path:
             state, meta = ckpt_lib.load(path)
             from lidar_rt_tpu.scene import Scene
@@ -129,8 +159,9 @@ def main_train(argv=None) -> None:
                 # A bare Scene (e.g. a reference checkpoint converted by
                 # scripts/import_reference_ckpt.py): rebuild the trainer
                 # around it — fresh optimizer moments, imported parameters.
-                trainer = loop_lib.Trainer(state, frames, args,
-                                           _trace_cfg(args))
+                trainer = loop_lib.Trainer(state, frames, args, cfg,
+                                           warmup_cfg=warmup_cfg,
+                                           warmup_until=warmup_until)
                 trainer.snapshot_dir = os.path.join(model_dir, "snapshots")
             else:
                 trainer.state = jax.tree.map(lambda x: x, state)
@@ -145,12 +176,20 @@ def main_train(argv=None) -> None:
     best_psnr = -1.0
 
     t0 = time.time()
+    logged = 0
+    _loss_keys = ("loss", "depth", "intensity", "raydrop", "cd", "reg")
     while trainer.iteration < total:
         chunk = min(testing_every, total - trainer.iteration)
         hist = trainer.run(iterations=chunk, log_every=100)
         recorder.step = trainer.iteration
-        recorder.update_loss_stats(
-            {k: v for k, v in hist[-1].items() if isinstance(v, float)})
+        # Feed every new per-iteration entry (the reference updates its
+        # SmoothedValue windows per iteration, train.py:263-269) — loss
+        # keys only, so bookkeeping fields (elapsed/alive/iteration) never
+        # enter the smoothing windows.
+        for entry in hist[logged:]:
+            recorder.update_loss_stats(
+                {k: entry[k] for k in _loss_keys if k in entry})
+        logged = len(hist)
         recorder.record("train")
 
         # periodic eval + best-checkpoint retention (train.py:328-380)
@@ -301,7 +340,7 @@ def main_eval(argv=None) -> None:
         print(f"using unet {unet_path}")
 
     from lidar_rt_tpu.eval.runner import EvalRunner
-    runner = EvalRunner(scene, frames, args, _trace_cfg(args),
+    runner = EvalRunner(scene, frames, args, _trace_cfg(args)[0],
                         unet_apply=unet_apply, use_gt_mask=a.use_gt_mask)
     out_dir = os.path.join(model_dir, "metrics")
     results = runner.run(a.eval_type, out_dir, save_images=a.save_image,

@@ -143,28 +143,29 @@ class EvalRunner:
 
         r = self.record_render(f)
         os.makedirs(output_dir, exist_ok=True)
-        gd = r["gt_depth"]
-        rng_scale = max(float(gd.max() - gd.min()), 1e-6)
-
-        def depth_vis(d, m):
-            return colormap((d - gd.min()) / rng_scale) * m[..., None]
-
-        def inten_vis(i, m):
-            gi = r["gt_intensity"]
-            s = max(float(gi.max() - gi.min()), 1e-6)
-            return colormap((i - gi.min()) / s) * m[..., None]
-
-        pred_mask = r["rayhit"] if not self.use_gt_mask else r["gt_mask"]
-        rows = [
-            np.concatenate([depth_vis(gd, r["gt_mask"]),
-                            depth_vis(r["depth"], pred_mask)], axis=1),
-            np.concatenate([inten_vis(r["gt_intensity"], r["gt_mask"]),
-                            inten_vis(r["intensity"], pred_mask)], axis=1),
-            np.concatenate([np.repeat(r["gt_mask"][..., None], 3, -1),
-                            np.repeat(r["rayhit"][..., None], 3, -1)],
-                           axis=1).astype(np.float32),
-        ]
         if save_png:
+            gd = r["gt_depth"]
+            rng_scale = max(float(gd.max() - gd.min()), 1e-6)
+
+            def depth_vis(d, m):
+                return colormap((d - gd.min()) / rng_scale) * m[..., None]
+
+            def inten_vis(i, m):
+                gi = r["gt_intensity"]
+                s = max(float(gi.max() - gi.min()), 1e-6)
+                return colormap((i - gi.min()) / s) * m[..., None]
+
+            pred_mask = r["rayhit"] if not self.use_gt_mask else r["gt_mask"]
+            rows = [
+                np.concatenate([depth_vis(gd, r["gt_mask"]),
+                                depth_vis(r["depth"], pred_mask)], axis=1),
+                np.concatenate([inten_vis(r["gt_intensity"], r["gt_mask"]),
+                                inten_vis(r["intensity"], pred_mask)],
+                               axis=1),
+                np.concatenate([np.repeat(r["gt_mask"][..., None], 3, -1),
+                                np.repeat(r["rayhit"][..., None], 3, -1)],
+                               axis=1).astype(np.float32),
+            ]
             write_png(os.path.join(output_dir, f"frame_{f:04d}.png"),
                       np.concatenate(rows, axis=0))
         if save_pcd:
@@ -220,8 +221,16 @@ class EvalRunner:
                                      "$LIDAR_RT_LPIPS_WEIGHTS (see "
                                      "lidar_rt_tpu/eval/lpips.py)"
                                      if "lpips" in k else ""))
-                agg[group][k] = (float(np.mean(finite)) if finite
-                                 else float("nan"))
+                if finite:
+                    agg[group][k] = float(np.mean(finite))
+                elif "lpips" in k and self.lpips_fn is None:
+                    # Explicit waiver marker (BASELINE.md: AlexNet LPIPS
+                    # weights cannot be obtained in this environment —
+                    # zero egress, no torchvision/lpips package): a string
+                    # the table reader cannot mistake for a valid score.
+                    agg[group][k] = "unavailable(no-weights)"
+                else:
+                    agg[group][k] = float("nan")
 
         results = {"eval_type": eval_type, "num_frames": len(frame_ids),
                    "mean": agg,

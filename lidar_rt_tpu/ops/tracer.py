@@ -42,33 +42,47 @@ from lidar_rt_tpu.ops.composite import RenderOutputs, SurfelBundle
 Array = jax.Array
 
 
+# ---- The flagship tracer configuration: ONE source of truth. ----
+# Adjudicated on-chip by the two-seed Waymo-scale quality ladders
+# (LADDER_r03/r04.json, PERF_NOTES).  TraceConfig() defaults to these
+# values, and cli._trace_cfg / sim.render_scan / bench.py all read them,
+# so the deployment API (re-simulation) renders with the same engine and
+# budget the benchmarks report (tests/test_configs.py asserts the three
+# surfaces agree).
+FLAGSHIP_TILE = TileConfig(tile_h=8, tile_w=128, max_per_tile=256,
+                           binner="hier", approx_topk=True)
+
+
 @dataclass(frozen=True)
 class TraceConfig:
-    """Static tracer parameters.
+    """Static tracer parameters.  Defaults ARE the flagship configuration.
 
     engine: "jax" (scanned gather compositing, any backend), "pallas"
       (fused Mosaic kernel, TPU), or "auto" — pallas on TPU when the
       tiling satisfies its constraints, jax otherwise.
     exact_order: re-sort candidates per ray by true intersection depth
       (reference k-buffer semantics, forward.cu:312-356).  False keeps the
-      tile-global nearest-center order (the 3DGS approximation) — cheaper.
-      The pallas engine sorts with an in-kernel bitonic lane sort
-      (ops/pallas_sort.py): exact at max_per_tile 128 (one chunk) and at
-      256 (the cross-chunk 256-lane pair sort); "auto" routes exact_order
-      to pallas for those budgets, to jax otherwise.
+      tile-global nearest-center order (the 3DGS approximation) — cheaper,
+      and the quality-validated flagship default.  The pallas engine sorts
+      with an in-kernel bitonic lane sort (ops/pallas_sort.py): exact at
+      max_per_tile 128 (one chunk) and at 256 (the cross-chunk 256-lane
+      pair sort); "auto" routes exact_order to pallas for those budgets,
+      to jax otherwise.
     tile_batch: tiles composited per scan step (jax engine memory knob).
     ray_block: rays per kernel instance (pallas engine VMEM knob).
     """
 
-    tile: TileConfig = TileConfig()
-    exact_order: bool = True
+    tile: TileConfig = FLAGSHIP_TILE
+    exact_order: bool = False
     tile_batch: int = 8
     engine: str = "auto"
     ray_block: int = 512
     # Relax the pallas kernels' channel/gradient MXU contractions to
-    # 1-pass bf16 (see PallasTraceConfig.fast_math).  Ignored by the jax
-    # engine (which stays the f32 semantics reference).
-    fast_math: bool = False
+    # 1-pass bf16 (see PallasTraceConfig.fast_math; gated on-chip by
+    # scripts/tpu_parity.py --fast + scripts/fast_math_probe.sh,
+    # PARITY_r03.json).  Ignored by the jax engine (which stays the f32
+    # semantics reference).
+    fast_math: bool = True
     # Unbounded-hit tail: number of re-binned re-trace passes appended to
     # the render.  Each pass re-bins PAST each truncated tile's K-th
     # candidate range (binning min_range) and continues compositing with

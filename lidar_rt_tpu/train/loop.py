@@ -360,8 +360,8 @@ class Trainer:
         """
         self.frames = frames
         self.args = args
-        self.trace_cfg = trace_cfg or tracer_lib.TraceConfig(
-            tile=TileConfig(tile_h=32, tile_w=128, max_per_tile=512))
+        # Default = the flagship configuration (ops/tracer.FLAGSHIP_TILE).
+        self.trace_cfg = trace_cfg or tracer_lib.TraceConfig()
         seed = int(args.get("seed", 1)) if seed is None else seed
         random.seed(seed)
         np.random.seed(seed)
@@ -391,6 +391,7 @@ class Trainer:
         self._pending_metrics: list[tuple[int, dict]] = []
         self.densify_log: list[dict] = []  # per-pass counts (train.py:450+)
         self.snapshot_dir: str | None = None  # set to enable NaN dumps
+        self._elapsed_total = 0.0   # training wall time across run() calls
 
     def _make_step(self, cfg: tracer_lib.TraceConfig):
         """Build the jitted step for one trace config.  Subclass hook: the
@@ -520,8 +521,9 @@ class Trainer:
                         context=f"iteration {it}")
                 self.history[-1].update(
                     alive=int(self.state.scene.background.num_alive),
-                    elapsed=time.time() - t0)
+                    elapsed=self._elapsed_total + time.time() - t0)
         self._flush_metrics()
+        self._elapsed_total += time.time() - t0
         return self.history
 
     def _flush_metrics(self) -> None:

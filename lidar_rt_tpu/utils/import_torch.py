@@ -39,9 +39,23 @@ def _to_numpy(t) -> np.ndarray:
 
 
 def load_reference_tuples(path: str) -> tuple[list[tuple], int]:
-    """torch.load the reference .pth -> (per-asset tuples, iteration)."""
+    """torch.load the reference .pth -> (per-asset tuples, iteration).
+
+    SECURITY: reference checkpoints embed an optimizer state dict, which
+    torch's safe `weights_only=True` loader usually accepts; when it does
+    not (older formats), this falls back to the full unpickler, which can
+    EXECUTE ARBITRARY CODE from the file — only import checkpoints you
+    trust (the same caveat as running the reference's own `--resume`)."""
     import torch
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+        warnings.warn(
+            f"{path}: weights_only load failed; falling back to the full "
+            "unpickler — only do this for checkpoints you trust",
+            stacklevel=2)
+        payload = torch.load(path, map_location="cpu", weights_only=False)
     if not (isinstance(payload, tuple) and len(payload) == 2):
         raise ValueError(
             f"{path}: expected (model_params, iteration), got "
@@ -85,10 +99,19 @@ def asset_from_reference(tup: tuple, capacity: int | None = None,
     if f_dc.shape != (n, 1, 3) or f_rest.shape[0] != n:
         raise ValueError(f"SH shapes {f_dc.shape}/{f_rest.shape} "
                          f"don't match {n} points")
-    rest_n = 15
-    if f_rest.shape[1] != rest_n:
-        raise ValueError(f"_features_rest has {f_rest.shape[1]} coeffs, "
-                         f"expected {rest_n} (sh_degree 3)")
+    # The reference's sh_degree is configurable (model.sh_degree): accept
+    # any valid degree's coefficient count and zero-pad up to the
+    # framework's fixed (15, 3) f_rest storage; active_sh_degree (stored in
+    # the tuple) keeps evaluation at the trained degree.
+    valid_rest = {(d + 1) ** 2 - 1 for d in range(max_sh_degree + 1)}
+    if f_rest.ndim != 3 or f_rest.shape[1] not in valid_rest:
+        raise ValueError(
+            f"_features_rest has shape {f_rest.shape}; expected (n, r, 3) "
+            f"with r in {sorted(valid_rest)} (sh_degree <= {max_sh_degree})")
+    if f_rest.shape[1] < 15:
+        f_rest = np.concatenate(
+            [f_rest, np.zeros((n, 15 - f_rest.shape[1], 3), np.float32)],
+            axis=1)
     c = capacity if capacity is not None \
         else _round_capacity(n, pad_multiple, headroom)
     if n > c:

@@ -62,10 +62,14 @@ class Recorder:
 
     def record(self, prefix: str = "train",
                extra: dict[str, Any] | None = None) -> dict:
-        row = {"step": self.step, "prefix": prefix,
-               "elapsed": time.time() - self._t0,
-               **{k: v.median for k, v in self.loss_stats.items()},
-               **(extra or {})}
+        # Loss stats merge FIRST so they can never shadow the row's own
+        # step/elapsed fields (a trainer-history "elapsed" entry fed into
+        # update_loss_stats used to overwrite the wall clock here — the
+        # round-3 rehearsal's repeating-elapsed artifact).
+        row = {**{k: v.median for k, v in self.loss_stats.items()},
+               **(extra or {}),
+               "step": self.step, "prefix": prefix,
+               "elapsed": time.time() - self._t0}
         if self._fp:
             self._fp.write(json.dumps(row) + "\n")
             self._fp.flush()

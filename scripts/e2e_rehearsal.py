@@ -6,7 +6,7 @@ waymo_loader/__init__.py:92-102) and a KITTI-360 bin/XML sequence (66x1030,
 40 frames, 1 actor; kitti_loader/__init__.py:186-189) — then drives the
 actual `train.py -dc ... -ec ...` -> `eval.py` CLI against them
 (configs/rehearsal/*), and records metric tables + throughput into
-E2E_r03.json.
+E2E_r04.json.
 
 Usage:
     python scripts/e2e_rehearsal.py gen           # build both datasets
@@ -14,7 +14,7 @@ Usage:
     python scripts/e2e_rehearsal.py train kitti
     python scripts/e2e_rehearsal.py eval waymo
     python scripts/e2e_rehearsal.py eval kitti
-    python scripts/e2e_rehearsal.py collect       # -> E2E_r03.json
+    python scripts/e2e_rehearsal.py collect       # -> E2E_r04.json
 """
 
 from __future__ import annotations
@@ -191,7 +191,7 @@ def run_cli(kind: str, which: str) -> float:
 
 
 def collect() -> None:
-    rec = {"round": 3, "shapes": {"waymo": [50, 64, 2650, 2],
+    rec = {"round": 4, "shapes": {"waymo": [50, 64, 2650, 2],
                                   "kitti360": [40, 66, 1030, 1]},
            "schedule": "4k iterations (30k reference schedule compressed "
                        "7.5x; densify 300-2000/100, opacity reset 1000), "
@@ -220,7 +220,7 @@ def collect() -> None:
             entry["final_loss"] = hist[-1]["loss"]
             entry["iterations_recorded"] = len(hist)
         rec["results"][which] = entry
-    out = os.path.join(REPO, "E2E_r03.json")
+    out = os.path.join(REPO, "E2E_r04.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec, indent=1))

@@ -48,8 +48,10 @@ def main() -> None:
 
     out = args_ns.out
     if out is None:
-        model_dir = os.path.join(str(args.model_dir), str(args.task_name),
-                                 str(args.exp_name), "models")
+        # Same layout as cli._model_dir (incl. the scene_<id> segment) so
+        # `eval.py`/`train.py --resume` find_best discovers the import at
+        # its default location (reference layout: gs_loader.py:22).
+        model_dir = os.path.join(cli._model_dir(args), "models")
         out = os.path.join(model_dir, f"ckpt_it_{iteration}_good.npz")
     ckpt_lib.save(out, scene, {"iteration": iteration,
                                "imported_from": os.path.abspath(args_ns.pth)})

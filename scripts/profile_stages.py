@@ -33,11 +33,12 @@ ITERS = 20
 FAST = "--fast" in sys.argv
 # Tile shape follows bench.py's sweep env vars (BENCH_TILE_H / BENCH_K)
 # so stage budgets are measured at the same config the bench reports.
-TILE = TileConfig(tile_h=bench._TILE_H, tile_w=128, max_per_tile=bench._K,
+TILE = TileConfig(tile_h=bench._TILE_H, tile_w=bench._TILE_W,
+                  max_per_tile=bench._K, macro_cols=bench._MACRO,
                   binner="hier", approx_topk=True)
-CFG = tracer_lib.TraceConfig(tile=TILE, exact_order=False, ray_block=512,
-                             fast_math=FAST)
-PCFG = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512,
+CFG = tracer_lib.TraceConfig(tile=TILE, exact_order=False,
+                             ray_block=bench._RAY_BLOCK, fast_math=FAST)
+PCFG = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=bench._RAY_BLOCK,
                                        exact_order=False, fast_math=FAST)
 
 

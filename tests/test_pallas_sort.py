@@ -9,6 +9,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lidar_rt_tpu.ops import pallas_sort as ps
 
+# Multi-minute interpret-mode kernel tests: excluded from the fast dev
+# tier (`pytest -m "not slow"`); the full suite remains the CI gate.
+pytestmark = pytest.mark.slow
+
 
 def _run_kernel(fn, out_shapes, *args):
     return pl.pallas_call(

@@ -14,6 +14,10 @@ from lidar_rt_tpu.ops import pallas_tracer, tracer
 from lidar_rt_tpu.ops.binning import TileConfig
 from lidar_rt_tpu.ops.composite import SurfelBundle
 
+# Multi-minute interpret-mode kernel tests: excluded from the fast dev
+# tier (`pytest -m "not slow"`); the full suite remains the CI gate.
+pytestmark = pytest.mark.slow
+
 GRID = rays_lib.SensorGrid.from_bounds(16, (-0.3, 0.1))
 WIDTH = 256
 S2W = jnp.eye(4)

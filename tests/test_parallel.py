@@ -11,6 +11,10 @@ from lidar_rt_tpu.ops.binning import TileConfig
 from lidar_rt_tpu.ops.composite import SurfelBundle
 from lidar_rt_tpu.parallel import make_mesh, trace_ray_sharded
 
+# Multi-minute interpret-mode kernel tests: excluded from the fast dev
+# tier (`pytest -m "not slow"`); the full suite remains the CI gate.
+pytestmark = pytest.mark.slow
+
 GRID = rays_lib.SensorGrid.from_bounds(32, (-0.3, 0.1))
 WIDTH = 256
 S2W = jnp.eye(4)

@@ -200,7 +200,8 @@ class TestTracerForwardParity:
         grid = rays_lib.SensorGrid.from_bounds(66, (-0.3, 0.1))
         bundle = _random_bundle(40, seed=5)
         cfg = tracer.TraceConfig(
-            tile=binning.TileConfig(tile_h=32, tile_w=128, max_per_tile=40))
+            tile=binning.TileConfig(tile_h=32, tile_w=128, max_per_tile=40),
+            exact_order=True)  # dense-oracle comparison needs depth order
         out = tracer.trace(bundle, grid, 1030, S2W, BG, 3, cfg)
         assert out.channels.shape == (66, 1030, 9)
         origin, dirs = rays_lib.range_rays(grid, 1030, S2W)
