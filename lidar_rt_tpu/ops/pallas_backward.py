@@ -89,13 +89,18 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                                drows_ref[0, 2:3, :])        # (16, R)
     basis = basis_rows.T                                    # (R, 16)
 
-    # Upstream channel grads, (R, 1) each (inputs are (1, R, 16) blocks).
-    g_rows = [g_ref[0, :, c:c + 1] for c in range(10)]
+    # Upstream channel grads, (R, 1) each.  The inputs are (1, 16, R)
+    # channel-major blocks (the forward kernel's native row layout); one
+    # small (10, R) -> (R, 10) transpose per step recovers the per-ray
+    # column form the pair math broadcasts over.
+    g_cols = jnp.transpose(g_ref[0, 0:10, :])  # (R, 10)
+    s_cols = jnp.transpose(fwd_ref[0, 0:10, :])
+    g_rows = [g_cols[:, c:c + 1] for c in range(10)]
     g_t_final = g_rows[8]
-    g_norm = g_ref[0, :, 5:8]                  # (R, 3)
+    g_norm = g_cols[:, 5:8]                    # (R, 3)
     # Forward totals per composited channel (cols 0..7), T_out (col 8),
     # and the raw ungated transmittance (col 9, tail re-trace carry).
-    s_rows = [fwd_ref[0, :, c:c + 1] for c in range(10)]
+    s_rows = [s_cols[:, c:c + 1] for c in range(10)]
     t_out_fwd = s_rows[8]
     # d(raw)/d(alpha_i) = -raw / (1 - alpha_i) for every composited hit
     # (raw is the ungated product — no live factor in the chain).
@@ -430,8 +435,9 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
                          ray_block: int, exact: bool = False,
                          fast: bool = False) -> tuple[Array, ...]:
     """Launch the backward kernel.  Shapes as in pallas_tracer.trace_forward;
-    fwd_chans/g_chans: (T, R_total, 16) — channels LAST (the forward
-    kernel's native ray-major output layout; no transposes).  Returns
+    fwd_chans/g_chans: (T, 16, R_total) — channel-MAJOR (the forward
+    kernel's native row output layout; the kernel transposes the two
+    small per-step blocks back to per-ray columns).  Returns
     per-tile candidate grads (d_axes, d_plane, d_inv_scale, d_opac, d_sh)."""
     t_total, rays_per_tile, _ = dirs_t.shape
     k = axes.shape[-1]
@@ -464,9 +470,9 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
             pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 16, k), lambda t, r: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, NUM_OUT_ROWS), lambda t, r: (t, r, 0),
+            pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, NUM_OUT_ROWS), lambda t, r: (t, r, 0),
+            pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -96,7 +96,7 @@ class PallasTraceConfig:
 def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                     axes_ref, plane_ref, scale_ref, opac_ref, sign_ref,
                     sh_ref, chans_ref, accum_ref,
-                    traw_ref, sums_ref, w_ref, *extra,
+                    traw_ref, w_ref, *extra,
                     k_total: int, exact: bool, fast: bool):
     """One (tile, ray_block) grid step.
 
@@ -116,9 +116,17 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                            orientation
     sh:    (1, 3, 16, K)   per-channel SH coefficients (degree mask
                            pre-folded in)
-    chans: (1, R, 16) out  ray-major channel block (matches the backward
-                           kernel's expected layout — no transposes between
-                           the passes)
+    chans: (1, 16, R) out  channel-MAJOR block: each channel is one
+                           sublane row over the ray lanes.  The assembly is
+                           MXU-native — every channel row is a (M, K) @
+                           (K, R) contraction of the per-pair weight
+                           scratch — and the row stack is a cheap sublane
+                           concat.  (The previous ray-major (R, 16) layout
+                           assembled the output as a lane-dim concat of ten
+                           (R, 1) pieces, each one a masked lane-shift
+                           relayout: measured as the dominant share of the
+                           kernel's 2.8 ms K-independent cost,
+                           scripts/intercept_probe.py round 4.)
     accum: (1, K)    out   per-candidate weight sums (+= over ray blocks)
 
     The ray-direction inner products (qd/b_u/b_v) run as exact-f32 VPU
@@ -148,8 +156,9 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     exact_pair = exact and k_total == 2 * K_CHUNK
     if exact_pair:
         alpha_sc, tdep_sc, alive_ref = extra
+        t_sc = tdep_sc          # pair mode already banks per-pair depths
     else:
-        (alive_ref,) = extra
+        t_sc, alive_ref = extra
 
     dirs = dirs_ref[0]                       # (R, 3)
     d0, d1, d2 = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
@@ -163,12 +172,12 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     chan_prec = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
 
-    def dot_lanes(a, b):
-        """(R, K) x (M, K) -> (R, M): contract the candidate lanes.
-        HIGHEST unless fast_math: channel sums accumulate alpha-blend
-        weights and the reference accumulates in f32 (forward.cu
-        atomicAdd)."""
-        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+    def dot_cand(m, w):
+        """(M, K) x (R, K) -> (M, R): contract the candidate lanes into
+        channel ROWS (the chans block is channel-major).  HIGHEST unless
+        fast_math: channel sums accumulate alpha-blend weights and the
+        reference accumulates in f32 (forward.cu atomicAdd)."""
+        return jax.lax.dot_general(m, w, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=chan_prec)
 
@@ -242,15 +251,10 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
             scan_p_excl, scan_one_m = p_excl, one_m
         w = alpha * t_excl * live
         w_ref[:, ks] = w
-
-        # Intensity (clamped, nonlinear) and depth are per-pair VPU sums;
-        # every linear channel is deferred to the post-loop full-K MXU
-        # contraction of the weight scratch.
-        contrib = jnp.concatenate([
-            jnp.sum(w * col0_full[:, ks], axis=1, keepdims=True),
-            jnp.sum(w * t, axis=1, keepdims=True),
-        ], axis=1)
-        sums_ref[...] += contrib
+        # Per-pair depths feed the post-loop depth/intensity channel
+        # contractions (every channel row, including the nonlinear-clamped
+        # intensity, is a full-K MXU contraction of the weight scratch).
+        t_sc[:, ks] = t
 
         # carried raw transmittance (chunk-exit product, order-independent
         # so the scan-order tail is exact).  The OUTPUT transmittance needs
@@ -263,16 +267,12 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         alive_ref[0] = (jnp.max(new_traw) >= geometry.T_MIN).astype(
             jnp.int32)
 
-        # per-candidate weight sums -> accumulate output slice
-        accum_ref[0, :, ks] += jnp.sum(w, axis=0, keepdims=True)
-
     @pl.when(rb == 0)
     def _():
         accum_ref[...] = jnp.zeros_like(accum_ref)
 
     t0 = t0_ref[0]                                           # (R, 1)
     traw_ref[...] = t0
-    sums_ref[...] = jnp.zeros((r, 2), jnp.float32)
     alive_ref[0] = 1
     # Unrolled chunk loop: static slices vectorize better under Mosaic
     # than fori_loop + dynamic VMEM slicing.  Each chunk is predicated on
@@ -301,6 +301,7 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                 tdep_sc[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
             else:
                 w_ref[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
+                t_sc[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
 
     if exact_pair:
         # Global depth-ordered compositing over both chunks: sort the
@@ -325,37 +326,45 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         w_ref[:, :K_CHUNK] = a0 * te0 * live0
         w_ref[:, K_CHUNK:] = a1 * te1 * live1
         traw_ref[...] = pe1[:, last:] * one1[:, last:]
-        w_pair = w_ref[...]
-        t_pair = tdep_sc[...]
-        sums_ref[...] = jnp.concatenate([
-            jnp.sum(w_pair * col0_full, axis=1, keepdims=True),
-            jnp.sum(w_pair * t_pair, axis=1, keepdims=True)], axis=1)
-        accum_ref[0] += jnp.sum(w_pair, axis=0, keepdims=True)
 
     # Post-loop, UNpredicated: full-K channel contractions of the weight
-    # scratch (skipped chunks contribute exact zeros).
+    # scratch (skipped chunks contribute exact zeros).  Every channel is
+    # produced directly as a (1 or M, R) ROW — MXU contractions over the
+    # candidate lanes — so the output assembly is a sublane stack, not a
+    # lane-dim concat of (R, 1) pieces.
     w_full = w_ref[...]                                      # (R, K)
+    t_full = t_sc[...]                                       # (R, K)
     sign_full = sign_ref[0]                                  # (1, K)
     n_full = axes_ref[0, 0]                                  # (3, K)
     cand4 = jnp.concatenate(
         [jnp.ones_like(sign_full), sign_full * n_full[0:1],
          sign_full * n_full[1:2], sign_full * n_full[2:3]], axis=0)
-    m1 = dot_lanes(w_full, cand4)                            # (R, 4)
-    m2 = dot_lanes(w_full, sh_ref[0, 1])                     # (R, 16)
-    m3 = dot_lanes(w_full, sh_ref[0, 2])
-    sumw = m1[:, 0:1]
-    sums = sums_ref[...]
+    m1t = dot_cand(cand4, w_full)                            # (4, R)
+    m2t = dot_cand(sh_ref[0, 1], w_full)                     # (16, R)
+    m3t = dot_cand(sh_ref[0, 2], w_full)
+    ones_row = jnp.ones((1, k_total), jnp.float32)
+    wc_row = dot_cand(ones_row, w_full * col0_full)          # (1, R)
+    wt_row = dot_cand(ones_row, w_full * t_full)             # (1, R)
+    sumw_row = m1t[0:1]                                      # (1, R)
+    # basis . m_t is a per-ray 16-coefficient dot: elementwise product of
+    # two (16, R) row blocks + a 4-step sublane reduction.
+    ch1_row = (jnp.sum(basis_rows * m2t, axis=0, keepdims=True)
+               + 0.5 * sumw_row)
+    ch2_row = (jnp.sum(basis_rows * m3t, axis=0, keepdims=True)
+               + 0.5 * sumw_row)
+    t0_row = jnp.transpose(t0)                               # (1, R)
+    traw_row = jnp.transpose(traw_ref[...])
+    accum_ref[0] += jnp.sum(w_full, axis=0, keepdims=True)   # (1, K)
     chans_ref[0] = jnp.concatenate(
-        [sums[:, 0:1],
-         jnp.sum(basis * m2, axis=1, keepdims=True) + 0.5 * sumw,
-         jnp.sum(basis * m3, axis=1, keepdims=True) + 0.5 * sumw,
-         sums[:, 1:2],
-         sumw, m1[:, 1:2], m1[:, 2:3], m1[:, 3:4],
-         t0 - sumw,
+        [wc_row,
+         ch1_row, ch2_row,
+         wt_row,
+         m1t,                      # rows 4..7: sumw, sn0, sn1, sn2
+         t0_row - sumw_row,        # row 8: T_out = t0 - sum w (telescope)
          # row 9: ungated raw transmittance (tail re-trace carry; < T_MIN
          # marks a ray latched by the live cutoff)
-         traw_ref[...],
-         jnp.zeros((r, NUM_OUT_ROWS - 10), jnp.float32)], axis=1)  # (R, 16)
+         traw_row,
+         jnp.zeros((NUM_OUT_ROWS - 10, r), jnp.float32)], axis=0)  # (16, R)
 
 
 def _prepare_tile_inputs(bundle: SurfelBundle, origin: Array,
@@ -497,23 +506,24 @@ def _core_fwd_call(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, rb, NUM_OUT_ROWS), lambda t, r: (t, r, 0),
+            pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_total, rays_per_tile, NUM_OUT_ROWS),
+            jax.ShapeDtypeStruct((t_total, NUM_OUT_ROWS, rays_per_tile),
                                  jnp.float32),
             jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
-            pltpu.VMEM((rb, 2), jnp.float32),   # intensity/depth accumulators
             pltpu.VMEM((rb, k), jnp.float32),   # per-pair weight scratch
         ] + ([
             pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: gated alphas
             pltpu.VMEM((rb, k), jnp.float32),   # exact-pair: hit depths
-        ] if exact and k == 2 * K_CHUNK else []) + [
+        ] if exact and k == 2 * K_CHUNK else [
+            pltpu.VMEM((rb, k), jnp.float32),   # per-pair hit depths
+        ]) + [
             pltpu.SMEM((1,), jnp.int32),        # block-alive flag
         ],
         compiler_params=pltpu.CompilerParams(
@@ -558,8 +568,8 @@ def _pallas_core_bwd(ray_block, exact, fast, res, cotangents):
     g_chans, _g_accum = cotangents
     # accum_weights feeds densification stats only (stop-gradient in the
     # reference too: stats are read outside autograd, train.py:218-219).
-    # chans/g_chans are already (T, R, 16) ray-major — the backward
-    # kernel's input layout.
+    # chans/g_chans are (T, 16, R) channel-major — the backward kernel's
+    # input layout (it transposes the two small blocks once per step).
     d_axes, d_plane, d_inv_scale, d_opac, d_sh = \
         pallas_backward.backward_pallas_call(
             cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale,
@@ -569,8 +579,8 @@ def _pallas_core_bwd(ray_block, exact, fast, res, cotangents):
     # transmittance (w_i = alpha_i T0 prod(1-alpha_j)), so
     # dL/dT0 = sum_ch g_ch C_ch / T0.  (The T_MIN live cutoff's
     # T0-dependence is a measure-zero step, ignored as usual.)
-    g_sum = jnp.sum(g_chans[..., 0:10] * chans[..., 0:10], axis=-1,
-                    keepdims=True)
+    g_sum = jnp.sum(g_chans[:, 0:10, :] * chans[:, 0:10, :],
+                    axis=1)[..., None]                      # (T, R, 1)
     d_t0 = g_sum / jnp.maximum(t0_t, 1e-12)
     zeros = jax.tree.map(jnp.zeros_like, (cnt_t, dirs_t, drows_t, mind_t))
     return (zeros[0], zeros[1], zeros[2], zeros[3], d_t0, d_axes, d_plane,
@@ -671,11 +681,11 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                                    jax.lax.stop_gradient(mind_t), t0_t,
                                    axes, plane, inv_scale, opac, sign, sh)
 
-    # Un-tile: (T, R, 16) ray-major -> (H, W, 10): 9 public channels +
+    # Un-tile: (T, 16, R) channel-major -> (H, W, 10): 9 public channels +
     # the raw-transmittance row (tail re-trace carry).
     hp_, wp_ = tiles_y * th, tiles_x * tw
-    img = (chans.reshape(tiles_y, tiles_x, th, tw, NUM_OUT_ROWS)
-           .transpose(0, 2, 1, 3, 4)
+    img = (chans.reshape(tiles_y, tiles_x, NUM_OUT_ROWS, th, tw)
+           .transpose(0, 3, 1, 4, 2)
            .reshape(hp_, wp_, NUM_OUT_ROWS))[:h, :w_r, :10]
 
     flat_idx = jnp.where(assignment.valid, assignment.index, n).reshape(-1)

@@ -43,6 +43,8 @@ _T4K128 = TileConfig(tile_h=4, tile_w=128, max_per_tile=128, binner="hier",
                      approx_topk=True, pad_px=2.0)
 _T2K128 = TileConfig(tile_h=2, tile_w=128, max_per_tile=128, binner="hier",
                      approx_topk=True, pad_px=2.0)
+_T16X32 = TileConfig(tile_h=16, tile_w=32, max_per_tile=128, binner="hier",
+                     approx_topk=True, pad_px=2.0)
 CONFIGS = [
     # (name, steady tile, warmup tile, opt overrides, ray_block, tail)
     ("8x128 K=256 rebin1 (r2 flagship)", _T8K256, None, {}, 512, 0),
@@ -59,6 +61,19 @@ CONFIGS = [
      TileConfig(tile_h=8, tile_w=128, max_per_tile=128, binner="hier",
                 approx_topk=True, pad_px=2.0), None,
      {"rebin_interval": 10}, 512, 1),
+    # Azimuth-NARROW tiles (round-4 subtile-demand study): footprints are a
+    # few px wide at range, so 32-px sectors cut the per-tile candidate
+    # demand far more than row-narrow tiles (8x32 fits K=128 on 99.1% of
+    # flagship sub-tiles).  16x32 keeps the tile at 512 rays (= ray_block,
+    # no wasted lanes) and benches 26.0 Mray/s vs the 8x128 K=256
+    # flagship's 19.5 (channel-major kernels).
+    ("16x32 K=128 rebin10", _T16X32, None, {"rebin_interval": 10}, 512, 0),
+    ("16x32 K=128 rebin10 tail1", _T16X32, None,
+     {"rebin_interval": 10}, 512, 1),
+    ("16x32 K=256->128 warmup", _T16X32,
+     TileConfig(tile_h=16, tile_w=32, max_per_tile=256, binner="hier",
+                approx_topk=True, pad_px=2.0),
+     {"rebin_interval": 10}, 512, 0),
 ]
 # (K=192 was considered from the survivor-stats per-tile demand — unique
 # gate-passers p50 212 / max 240 — but K must be a multiple of the 128-lane

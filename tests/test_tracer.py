@@ -234,7 +234,8 @@ class TestTracerGradients:
         bundle = _random_bundle(40, seed=7)
         cfg = tracer.TraceConfig(
             tile=binning.TileConfig(tile_h=8, tile_w=64, max_per_tile=40),
-            tile_batch=4)
+            tile_batch=4,
+            exact_order=True)  # dense-oracle gradients need depth order
 
         def run_tiled(b):
             return tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
