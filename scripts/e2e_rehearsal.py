@@ -203,6 +203,8 @@ def collect() -> None:
         if os.path.exists(res_path):
             with open(res_path) as f:
                 entry["metrics_mean"] = json.load(f)["mean"]
+        unet = os.path.join(mdir, "models", "unet.npz")
+        entry["unet_npz"] = os.path.exists(unet)
         log_path = os.path.join(mdir, "logs", "log.json")
         if os.path.exists(log_path):
             with open(log_path) as f:
