@@ -91,8 +91,13 @@ def train_unet(inputs: np.ndarray, labels: np.ndarray, *, epochs: int = 400,
             opt_state, params)
         return optax.apply_updates(params, upd), opt_state
 
+    # x_all/y_all enter as ARGUMENTS, not closure constants: jit would bake
+    # closed-over arrays into the HLO as literals, and at Waymo scale the
+    # remote-compile payload (50 x 64 x 2650 x C floats) exceeds what a
+    # tunneled device accepts (HTTP 413).  As parameters they travel once
+    # as device buffer handles.
     @jax.jit
-    def epoch_fn(params, batch_stats, opt_state, perm, key):
+    def epoch_fn(params, batch_stats, opt_state, perm, key, x_all, y_all):
         def body(carry, f):
             params, batch_stats, opt_state, accum, count, key = carry
             x = x_all[f][None]
@@ -138,7 +143,7 @@ def train_unet(inputs: np.ndarray, labels: np.ndarray, *, epochs: int = 400,
         key, k_epoch = jax.random.split(key)
         params, batch_stats, opt_state, mean_loss = epoch_fn(
             params, batch_stats, opt_state, jnp.asarray(order, jnp.int32),
-            k_epoch)
+            k_epoch, x_all, y_all)
         history.append(float(mean_loss))
     return model, {"params": params, "batch_stats": batch_stats}, history
 
