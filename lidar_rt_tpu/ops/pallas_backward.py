@@ -51,13 +51,20 @@ NUM_OUT_ROWS = 16
 
 def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                      axes_ref, plane_ref, scale_ref, opac_ref, sign_ref,
-                     sh_ref, fwd_ref, g_ref,
-                     d_axes_ref, d_plane_ref, d_scale_ref, d_opac_ref,
-                     d_sh_ref, traw_ref, gwc_ref, w_ref, dqd_ref, dbu_ref,
-                     dbv_ref, *extra,
-                     k_total: int, exact: bool, fast: bool):
+                     sh_ref, fwd_ref, g_ref, *rest,
+                     k_total: int, exact: bool, fast: bool, cache: bool):
     """Grid (T, RB).  fwd/g: (1, R, 16) forward totals and upstream grads.
     d_* outputs accumulate across ray blocks (init at rb == 0).
+
+    cache (tile-order only): the forward cached per-pair signed gated
+    alpha (sign = the ALPHA_MAX clamp gate, zero = gated out) and the
+    exclusive transmittance as bf16 (pallas_tracer cache_fwd).  The
+    chunk body decodes them instead of replaying the forward: the exp
+    becomes g = alpha / opac (exact for every gate-passing pair), the
+    ok/clamp gates decode from sign/zero, the transmittance cumprod
+    scan disappears, and the chunk-exit carry is just
+    t_excl[last] * (1 - alpha[last]).  Only the intersection locals the
+    gradient chain itself consumes (qd/b_u/b_v, t, u, v) are recomputed.
 
     exact_pair (exact, K = 256): three phases mirroring the forward's
     cross-chunk exact ordering — (1) chunk loop recomputes and banks the
@@ -69,6 +76,11 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     factors."""
     r = dirs_ref.shape[1]
     rb = pl.program_id(1)
+    if cache:
+        ac_ref, te_ref = rest[:2]
+        rest = rest[2:]
+    (d_axes_ref, d_plane_ref, d_scale_ref, d_opac_ref, d_sh_ref,
+     traw_ref, gwc_ref, w_ref, dqd_ref, dbu_ref, dbv_ref, *extra) = rest
     exact_pair = exact and k_total == 2 * K_CHUNK
     if exact_pair:
         alpha_sc, gw_sc, tdep_sc, texcl_sc, suffix_sc, alive_ref = extra
@@ -159,7 +171,9 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         # ---- forward recompute (identical to _forward_kernel, including
         # the exact-f32 VPU broadcast form and the per-hit color matmul
         # precision: the ok/alpha gates and clamp gates must match
-        # bitwise) ----
+        # bitwise).  In cache mode only the intersection locals the
+        # gradient chain consumes are recomputed; the exp, the gates, and
+        # the transmittance scan decode from the forward's residuals. ----
         qd = d0 * n_mat[0:1] + d1 * n_mat[1:2] + d2 * n_mat[2:3]
         b_u = d0 * w1_mat[0:1] + d1 * w1_mat[1:2] + d2 * w1_mat[2:3]
         b_v = d0 * w2_mat[0:1] + d1 * w2_mat[1:2] + d2 * w2_mat[2:3]
@@ -169,13 +183,23 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         t = p / safe_qd
         u = (a_u + t * b_u) * inv_s0
         v = (a_v + t * b_v) * inv_s1
-        g = jnp.exp(-0.5 * (u * u + v * v))
-        alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
-        # (the p == 0 gate is folded into opac at prep, as in the forward)
-        ok = ((t >= mind)
-              & (abs_qd > geometry.DENOM_EPS)
-              & (alpha_raw >= geometry.ALPHA_MIN))
-        alpha = jnp.where(ok, alpha_raw, 0.0)
+        if cache:
+            ac = ac_ref[0, :, ks].astype(jnp.float32)  # signed gated alpha
+            alpha = jnp.abs(ac)
+            # alpha = opac * g for every unclamped gate-passing pair, so
+            # the exp inverts to a divide; clamped/gated pairs get a
+            # harmless value (their d_alpha is zeroed by the gate below).
+            g = alpha / jnp.maximum(opac, 1e-12)
+            t_excl = te_ref[0, :, ks].astype(jnp.float32)
+        else:
+            g = jnp.exp(-0.5 * (u * u + v * v))
+            alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
+            # (the p == 0 gate is folded into opac at prep, as in the
+            # forward)
+            ok = ((t >= mind)
+                  & (abs_qd > geometry.DENOM_EPS)
+                  & (alpha_raw >= geometry.ALPHA_MIN))
+            alpha = jnp.where(ok, alpha_raw, 0.0)
         one_m = 1.0 - alpha
 
         sn0 = sign * n_mat[0:1]
@@ -212,6 +236,30 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
             d_alpha = jnp.where(gate, d_alpha, 0.0)
             return chain(c, ks, d_alpha, w, g, opac, u, v, inv_s0, inv_s1,
                          t, b_u, b_v, a_u, a_v, safe_qd)
+
+        if cache:
+            # Decoded-residual path: no cumprod scan, no traw carry — the
+            # chunk-exit raw transmittance falls out of the cached
+            # exclusive transmittance directly.
+            live = (t_excl * one_m >= geometry.T_MIN).astype(jnp.float32)
+            w = alpha * t_excl * live
+            prefix_incl = lane_cumsum(gw * w) + gwc_ref[...]
+            suffix = gw_total - prefix_incl
+            one_m_alpha = jnp.maximum(one_m, 1e-6)
+            d_alpha = (gw * t_excl * live
+                       - suffix / one_m_alpha
+                       - g_t_final * t_out_fwd * live / one_m_alpha
+                       - g_raw_raw / one_m_alpha)
+            # sign decodes the clamp gate, zero the ok gate (forward
+            # cache_fwd encoding).
+            d_alpha = jnp.where(ac > 0.0, d_alpha, 0.0)
+            chain(c, ks, d_alpha, w, g, opac, u, v, inv_s0, inv_s1, t,
+                  b_u, b_v, a_u, a_v, safe_qd)
+            last = K_CHUNK - 1
+            gwc_ref[...] = prefix_incl[:, last:]
+            alive_ref[0] = (jnp.max(t_excl[:, last:] * one_m[:, last:])
+                            >= geometry.T_MIN).astype(jnp.int32)
+            return
 
         t_raw = traw_ref[...]
         gw_carry = gwc_ref[...]
@@ -433,22 +481,30 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
                          inv_scale: Array, opac: Array, sign: Array,
                          sh: Array, fwd_chans: Array, g_chans: Array,
                          ray_block: int, exact: bool = False,
-                         fast: bool = False) -> tuple[Array, ...]:
+                         fast: bool = False, alpha_c: Array | None = None,
+                         t_excl_c: Array | None = None) -> tuple[Array, ...]:
     """Launch the backward kernel.  Shapes as in pallas_tracer.trace_forward;
     fwd_chans/g_chans: (T, 16, R_total) — channel-MAJOR (the forward
     kernel's native row output layout; the kernel transposes the two
-    small per-step blocks back to per-ray columns).  Returns
+    small per-step blocks back to per-ray columns).
+
+    alpha_c/t_excl_c: the forward's bf16 per-pair residuals (cache_fwd),
+    both (T, R_total, K) — when given, the kernel decodes them instead of
+    replaying the forward (tile-order mode only).  Returns
     per-tile candidate grads (d_axes, d_plane, d_inv_scale, d_opac, d_sh)."""
     t_total, rays_per_tile, _ = dirs_t.shape
     k = axes.shape[-1]
     n_rb = rays_per_tile // ray_block
     rb = ray_block
+    cache = alpha_c is not None
+    if cache and exact:
+        raise ValueError("cached residuals require tile-order mode")
 
     def tile_map(t, r):
         return (t, 0, 0)
 
     kernel = functools.partial(_backward_kernel, k_total=k, exact=exact,
-                               fast=fast)
+                               fast=fast, cache=cache)
     return pl.pallas_call(
         kernel,
         grid=(t_total, n_rb),
@@ -474,7 +530,12 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, rb, k), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, k), lambda t, r: (t, r, 0),
+                         memory_space=pltpu.VMEM),
+        ] if cache else []),
         out_specs=[
             pl.BlockSpec((1, 3, 3, k), lambda t, r: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -514,4 +575,5 @@ def backward_pallas_call(cnt_t: Array, dirs_t: Array, drows_t: Array,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=use_interpret(),
     )(cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale, opac,
-      sign, sh, fwd_chans, g_chans)
+      sign, sh, fwd_chans, g_chans,
+      *((alpha_c, t_excl_c) if cache else ()))

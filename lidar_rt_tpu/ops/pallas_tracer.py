@@ -80,8 +80,26 @@ class PallasTraceConfig:
     # — they run as exact-f32 VPU broadcast arithmetic regardless (bf16
     # rounding there costs meters of depth at grazing incidence).
     fast_math: bool = False
+    # cache_fwd stores the forward's per-pair gated alpha (sign bit =
+    # the ALPHA_MAX clamp gate, zero = gated out) and exclusive
+    # transmittance as bf16 kernel outputs, and the backward consumes
+    # them instead of replaying the forward per pair: the exp, the
+    # alpha/ok gates, the transmittance cumprod scan, and the
+    # chunk-carry bookkeeping all drop out of the backward body
+    # (reference: backward.cu replays the full forward hit walk,
+    # backward.cu:510-583 — a GPU-idiomatic recompute that on TPU is
+    # ~30-40% of the issue-bound backward body).  Costs one HBM round
+    # trip of 2 x (rays x K) bf16 per step; gradient effect is the bf16
+    # rounding of alpha/T (~0.4%), the same tolerance class as
+    # fast_math — so ops/tracer.py only enables it together with
+    # fast_math.  Incompatible with exact_order (the exact backward's
+    # suffix scan needs the in-kernel depth sort regardless).
+    cache_fwd: bool = False
 
     def __post_init__(self):
+        if self.cache_fwd and self.exact_order:
+            raise ValueError("cache_fwd requires tile-order compositing "
+                             "(exact_order=False)")
         if self.tile.max_per_tile % K_CHUNK:
             raise ValueError(f"max_per_tile must be a multiple of {K_CHUNK}")
         if (self.tile.tile_h * self.tile.tile_w) % self.ray_block:
@@ -95,9 +113,8 @@ class PallasTraceConfig:
 
 def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                     axes_ref, plane_ref, scale_ref, opac_ref, sign_ref,
-                    sh_ref, chans_ref, accum_ref,
-                    traw_ref, w_ref, *extra,
-                    k_total: int, exact: bool, fast: bool):
+                    sh_ref, chans_ref, accum_ref, *rest,
+                    k_total: int, exact: bool, fast: bool, cache: bool):
     """One (tile, ray_block) grid step.
 
     cnt:   (T, 1) SMEM     per-tile candidate counts, whole array (chunks
@@ -148,6 +165,10 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     """
     r = dirs_ref.shape[1]
     rb = pl.program_id(1)
+    if cache:
+        ac_ref, te_ref, traw_ref, w_ref, *extra = rest
+    else:
+        traw_ref, w_ref, *extra = rest
     # exact_pair: K = 256 composited in GLOBAL per-ray depth order via the
     # 256-lane two-chunk bitonic sort (reference forward.cu:312-356 exact
     # k-buffer semantics across the whole candidate budget).  The chunk
@@ -255,6 +276,15 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         # contractions (every channel row, including the nonlinear-clamped
         # intensity, is a full-K MXU contraction of the weight scratch).
         t_sc[:, ks] = t
+        if cache:
+            # Backward residuals: gated alpha with the ALPHA_MAX clamp
+            # gate in the sign bit (negative = clamped, zero = gated
+            # out), and the exclusive transmittance.  bf16: gradients
+            # tolerate the ~0.4% rounding (fast_math class).
+            clamped = ok & (alpha_raw >= geometry.ALPHA_MAX)
+            ac_ref[0, :, ks] = jnp.where(clamped, -alpha,
+                                         alpha).astype(jnp.bfloat16)
+            te_ref[0, :, ks] = t_excl.astype(jnp.bfloat16)
 
         # carried raw transmittance (chunk-exit product, order-independent
         # so the scan-order tail is exact).  The OUTPUT transmittance needs
@@ -302,6 +332,10 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
             else:
                 w_ref[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
                 t_sc[:, c * K_CHUNK:(c + 1) * K_CHUNK] = z
+                if cache:
+                    zb = z.astype(jnp.bfloat16)
+                    ac_ref[0, :, c * K_CHUNK:(c + 1) * K_CHUNK] = zb
+                    te_ref[0, :, c * K_CHUNK:(c + 1) * K_CHUNK] = zb
 
     if exact_pair:
         # Global depth-ordered compositing over both chunks: sort the
@@ -343,8 +377,21 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
     m2t = dot_cand(sh_ref[0, 1], w_full)                     # (16, R)
     m3t = dot_cand(sh_ref[0, 2], w_full)
     ones_row = jnp.ones((1, k_total), jnp.float32)
-    wc_row = dot_cand(ones_row, w_full * col0_full)          # (1, R)
-    wt_row = dot_cand(ones_row, w_full * t_full)             # (1, R)
+
+    def sum_lanes_f32(x):
+        """(R, K) -> (1, R) lane reduction via an M=1 ones contraction at
+        HIGHEST precision ALWAYS: the intensity and depth rows reduce
+        meters-scale per-pair products, where fast_math's bf16 operand
+        rounding costs ~4 cm of depth (measured 3.8e-2 parity err; round-3
+        in-loop f32 accumulation was 3.1e-3).  An M=1 HIGHEST contraction
+        is a handful of extra MXU passes — noise next to the (16, K)
+        channel matmuls."""
+        return jax.lax.dot_general(ones_row, x, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    wc_row = sum_lanes_f32(w_full * col0_full)               # (1, R)
+    wt_row = sum_lanes_f32(w_full * t_full)                  # (1, R)
     sumw_row = m1t[0:1]                                      # (1, R)
     # basis . m_t is a per-ray 16-coefficient dot: elementwise product of
     # two (16, R) row blocks + a 4-step sublane reduction.
@@ -470,18 +517,29 @@ def _take_cols_mod(x: Array, col_offset, wp: int, w: int) -> Array:
     return jax.lax.dynamic_slice_in_dim(x2, col_offset, wp, axis=1)
 
 
-def _core_fwd_call(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
-                   drows_t, mind_t, t0_t, axes, plane, inv_scale, opac,
-                   sign, sh):
+def _core_fwd_call(ray_block: int, exact: bool, fast: bool, cache: bool,
+                   cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane,
+                   inv_scale, opac, sign, sh):
     t_total, rays_per_tile, _ = dirs_t.shape
     k = axes.shape[-1]
     rb = ray_block
     n_rb = rays_per_tile // rb
     kernel = functools.partial(_forward_kernel, k_total=k, exact=exact,
-                               fast=fast)
+                               fast=fast, cache=cache)
 
     def tile_map(t, r):
         return (t, 0, 0)
+
+    cache_specs = [
+        pl.BlockSpec((1, rb, k), lambda t, r: (t, r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb, k), lambda t, r: (t, r, 0),
+                     memory_space=pltpu.VMEM),
+    ] if cache else []
+    cache_shapes = [
+        jax.ShapeDtypeStruct((t_total, rays_per_tile, k), jnp.bfloat16),
+        jax.ShapeDtypeStruct((t_total, rays_per_tile, k), jnp.bfloat16),
+    ] if cache else []
 
     return pl.pallas_call(
         kernel,
@@ -509,12 +567,12 @@ def _core_fwd_call(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
             pl.BlockSpec((1, NUM_OUT_ROWS, rb), lambda t, r: (t, 0, r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, k), tile_map, memory_space=pltpu.VMEM),
-        ],
+        ] + cache_specs,
         out_shape=[
             jax.ShapeDtypeStruct((t_total, NUM_OUT_ROWS, rays_per_tile),
                                  jnp.float32),
             jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
-        ],
+        ] + cache_shapes,
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),   # running raw transmittance
             pltpu.VMEM((rb, k), jnp.float32),   # per-pair weight scratch
@@ -537,34 +595,37 @@ def _core_fwd_call(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
       sign, sh)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pallas_core(ray_block: int, exact: bool, fast: bool, cnt_t, dirs_t,
-                 drows_t, mind_t, t0_t, axes, plane, inv_scale, opac, sign,
-                 sh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _pallas_core(ray_block: int, exact: bool, fast: bool, cache: bool,
+                 cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane,
+                 inv_scale, opac, sign, sh):
     """The differentiable pallas_call boundary: everything around it
     (candidate gathers, frame building, un-tiling) is plain jnp and is
     differentiated by JAX; this custom_vjp supplies the kernel-level
     gradients from ops/pallas_backward.py."""
-    return _core_fwd_call(ray_block, exact, fast, cnt_t, dirs_t, drows_t,
-                          mind_t, t0_t, axes, plane, inv_scale, opac, sign,
-                          sh)
+    out = _core_fwd_call(ray_block, exact, fast, cache, cnt_t, dirs_t,
+                         drows_t, mind_t, t0_t, axes, plane, inv_scale,
+                         opac, sign, sh)
+    return out[0], out[1]
 
 
-def _pallas_core_fwd(ray_block, exact, fast, cnt_t, dirs_t, drows_t, mind_t,
-                     t0_t, axes, plane, inv_scale, opac, sign, sh):
-    chans, accum = _core_fwd_call(ray_block, exact, fast, cnt_t, dirs_t,
-                                  drows_t, mind_t, t0_t, axes, plane,
-                                  inv_scale, opac, sign, sh)
+def _pallas_core_fwd(ray_block, exact, fast, cache, cnt_t, dirs_t, drows_t,
+                     mind_t, t0_t, axes, plane, inv_scale, opac, sign, sh):
+    out = _core_fwd_call(ray_block, exact, fast, cache, cnt_t, dirs_t,
+                         drows_t, mind_t, t0_t, axes, plane, inv_scale,
+                         opac, sign, sh)
+    chans, accum = out[0], out[1]
     res = (cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale,
-           opac, sign, sh, chans)
+           opac, sign, sh, chans) + (tuple(out[2:]) if cache else ())
     return (chans, accum), res
 
 
-def _pallas_core_bwd(ray_block, exact, fast, res, cotangents):
+def _pallas_core_bwd(ray_block, exact, fast, cache, res, cotangents):
     from lidar_rt_tpu.ops import pallas_backward
 
     (cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale, opac,
-     sign, sh, chans) = res
+     sign, sh, chans) = res[:12]
+    alpha_c, t_excl_c = res[12:] if cache else (None, None)
     g_chans, _g_accum = cotangents
     # accum_weights feeds densification stats only (stop-gradient in the
     # reference too: stats are read outside autograd, train.py:218-219).
@@ -573,7 +634,8 @@ def _pallas_core_bwd(ray_block, exact, fast, res, cotangents):
     d_axes, d_plane, d_inv_scale, d_opac, d_sh = \
         pallas_backward.backward_pallas_call(
             cnt_t, dirs_t, drows_t, mind_t, t0_t, axes, plane, inv_scale,
-            opac, sign, sh, chans, g_chans, ray_block, exact, fast)
+            opac, sign, sh, chans, g_chans, ray_block, exact, fast,
+            alpha_c=alpha_c, t_excl_c=t_excl_c)
     # dL/d(t0): every composited channel, T_out, and the raw
     # transmittance (row 9) scale linearly in the per-ray initial
     # transmittance (w_i = alpha_i T0 prod(1-alpha_j)), so
@@ -677,7 +739,8 @@ def trace_forward(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
                     dtype=jnp.float32)[:, None]
 
     chans, accum_tk = _pallas_core(cfg.ray_block, cfg.exact_order,
-                                   cfg.fast_math, cnt_t, dirs_t, drows_t,
+                                   cfg.fast_math, cfg.cache_fwd, cnt_t,
+                                   dirs_t, drows_t,
                                    jax.lax.stop_gradient(mind_t), t0_t,
                                    axes, plane, inv_scale, opac, sign, sh)
 

@@ -83,6 +83,14 @@ class TraceConfig:
     # PARITY_r03.json).  Ignored by the jax engine (which stays the f32
     # semantics reference).
     fast_math: bool = True
+    # Cache the forward kernel's per-pair gated alpha + exclusive
+    # transmittance as bf16 outputs and let the backward decode them
+    # instead of replaying the forward (PallasTraceConfig.cache_fwd).
+    # Same ~0.4% gradient-rounding tolerance class as fast_math, so it is
+    # only effective when fast_math is set; tile-order mode only
+    # (exact_order forces a replay regardless).  Ignored by the jax
+    # engine.
+    cache_fwd: bool = True
     # Unbounded-hit tail: number of re-binned re-trace passes appended to
     # the render.  Each pass re-bins PAST each truncated tile's K-th
     # candidate range (binning min_range) and continues compositing with
@@ -241,10 +249,11 @@ def trace(bundle: SurfelBundle, grid: rays_lib.SensorGrid, width: int,
 
     if cfg.resolve_engine(grid.height, width, render_width) == "pallas":
         from lidar_rt_tpu.ops import pallas_tracer
-        pcfg = pallas_tracer.PallasTraceConfig(tile=cfg.tile,
-                                               ray_block=cfg.ray_block,
-                                               exact_order=cfg.exact_order,
-                                               fast_math=cfg.fast_math)
+        pcfg = pallas_tracer.PallasTraceConfig(
+            tile=cfg.tile, ray_block=cfg.ray_block,
+            exact_order=cfg.exact_order, fast_math=cfg.fast_math,
+            cache_fwd=(cfg.cache_fwd and cfg.fast_math
+                       and not cfg.exact_order))
         return pallas_tracer.trace(bundle, grid, width, sensor2world,
                                    background, active_sh_degree, pcfg,
                                    col_offset, render_width,

@@ -329,3 +329,82 @@ class TestExactPair:
                                    np.asarray(ref.channels), atol=3e-4)
         np.testing.assert_allclose(np.asarray(out.raw_trans),
                                    np.asarray(ref.raw_trans), atol=3e-4)
+
+
+class TestCacheFwd:
+    """cache_fwd: forward banks bf16 per-pair (signed gated alpha,
+    exclusive transmittance) residuals and the backward decodes them
+    instead of replaying the forward (pallas_backward cache path).
+    Forward CHANNELS must be bitwise unchanged (the residuals are extra
+    outputs); gradients agree with the replay backward to bf16-rounding
+    tolerance (the fast_math class)."""
+
+    CACHE = pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512,
+                                            cache_fwd=True)
+
+    def test_forward_unchanged(self):
+        bundle = _bundle(seed=2)
+        a = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, P_CFG)
+        b = pallas_tracer.trace(bundle, GRID, WIDTH, S2W, BG, 3, self.CACHE)
+        np.testing.assert_array_equal(np.asarray(a.channels),
+                                      np.asarray(b.channels))
+        np.testing.assert_array_equal(np.asarray(a.accum_weights),
+                                      np.asarray(b.accum_weights))
+
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_grads_match_replay(self, seed):
+        bundle = _bundle(50, seed=seed)
+
+        def loss(cfg):
+            def f(b):
+                out = pallas_tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
+                return (jnp.sum(out.channels[..., 3] ** 2) * 1e-3
+                        + jnp.sum(out.channels[..., 0:3] ** 2)
+                        + jnp.sum(out.channels[..., 5:8] * 0.1)
+                        + jnp.sum(out.channels[..., 8])
+                        + jnp.sum(out.raw_trans))
+            return f
+
+        g_c = jax.grad(loss(self.CACHE))(bundle)
+        g_r = jax.grad(loss(P_CFG))(bundle)
+        for name in ("means", "rotations", "scales", "opacities", "sh"):
+            a = np.asarray(getattr(g_c, name))
+            b = np.asarray(getattr(g_r, name))
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=1.5e-2,
+                                       err_msg=name)
+            # bf16 rounding must not destroy direction: cosine ~ 1
+            cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)
+                                   + 1e-12)
+            assert cos > 0.999, (name, cos)
+
+    def test_multichunk_cache(self):
+        """K=256 tile-order: the chunk-carry (gw prefix, alive latch)
+        must chain identically through the decoded path."""
+        tile = TileConfig(tile_h=16, tile_w=128, max_per_tile=256)
+        cfgs = [pallas_tracer.PallasTraceConfig(tile=tile, ray_block=512,
+                                                cache_fwd=c)
+                for c in (True, False)]
+        bundle = _bundle(200, seed=11)
+
+        def loss(cfg):
+            def f(b):
+                out = pallas_tracer.trace(b, GRID, WIDTH, S2W, BG, 3, cfg)
+                return (jnp.sum(out.channels[..., 0:4] ** 2)
+                        + jnp.sum(out.channels[..., 8]))
+            return f
+
+        g_c = jax.grad(loss(cfgs[0]))(bundle)
+        g_r = jax.grad(loss(cfgs[1]))(bundle)
+        for name in ("means", "scales", "opacities", "sh"):
+            a = np.asarray(getattr(g_c, name))
+            b = np.asarray(getattr(g_r, name))
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / scale, b / scale, atol=1.5e-2,
+                                       err_msg=name)
+
+    def test_exact_order_rejected(self):
+        with pytest.raises(ValueError):
+            pallas_tracer.PallasTraceConfig(tile=TILE, ray_block=512,
+                                            exact_order=True,
+                                            cache_fwd=True)
