@@ -58,13 +58,15 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
 
     cache (tile-order only): the forward cached per-pair signed gated
     alpha (sign = the ALPHA_MAX clamp gate, zero = gated out) and the
-    exclusive transmittance as bf16 (pallas_tracer cache_fwd).  The
-    chunk body decodes them instead of replaying the forward: the exp
-    becomes g = alpha / opac (exact for every gate-passing pair), the
-    ok/clamp gates decode from sign/zero, the transmittance cumprod
-    scan disappears, and the chunk-exit carry is just
-    t_excl[last] * (1 - alpha[last]).  Only the intersection locals the
-    gradient chain itself consumes (qd/b_u/b_v, t, u, v) are recomputed.
+    signed exclusive transmittance (sign = the f32 T_MIN live decision)
+    as bf16 (pallas_tracer cache_fwd).  The chunk body decodes them
+    instead of replaying the forward: the exp becomes g = alpha / opac
+    (exact for every gate-passing pair), EVERY forward gate — ok, clamp,
+    live — decodes bitwise from the sign/zero encodings, the
+    transmittance cumprod scan disappears, and the chunk-exit liveness
+    carry decodes from the last pair's live bit.  Only the intersection
+    locals the gradient chain itself consumes (qd/b_u/b_v, t, u, v) are
+    recomputed.
 
     exact_pair (exact, K = 256): three phases mirroring the forward's
     cross-chunk exact ordering — (1) chunk loop recomputes and banks the
@@ -190,7 +192,8 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
             # the exp inverts to a divide; clamped/gated pairs get a
             # harmless value (their d_alpha is zeroed by the gate below).
             g = alpha / jnp.maximum(opac, 1e-12)
-            t_excl = te_ref[0, :, ks].astype(jnp.float32)
+            te_s = te_ref[0, :, ks].astype(jnp.float32)
+            t_excl = jnp.abs(te_s)
         else:
             g = jnp.exp(-0.5 * (u * u + v * v))
             alpha_raw = jnp.minimum(geometry.ALPHA_MAX, opac * g)
@@ -238,10 +241,13 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                          t, b_u, b_v, a_u, a_v, safe_qd)
 
         if cache:
-            # Decoded-residual path: no cumprod scan, no traw carry — the
-            # chunk-exit raw transmittance falls out of the cached
-            # exclusive transmittance directly.
-            live = (t_excl * one_m >= geometry.T_MIN).astype(jnp.float32)
+            # Decoded-residual path: no cumprod scan, no traw carry.  The
+            # T_MIN live gate decodes from te's sign bit — the forward's
+            # f32 decision, NOT a re-derivation from the bf16-rounded
+            # magnitudes (a near-threshold flip there would zero or
+            # reinstate a pair's whole weight/d_alpha contribution — a
+            # discrete error, unlike the documented ~0.4% rounding).
+            live = (te_s > 0.0).astype(jnp.float32)
             w = alpha * t_excl * live
             prefix_incl = lane_cumsum(gw * w) + gwc_ref[...]
             suffix = gw_total - prefix_incl
@@ -257,8 +263,11 @@ def _backward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
                   b_u, b_v, a_u, a_v, safe_qd)
             last = K_CHUNK - 1
             gwc_ref[...] = prefix_incl[:, last:]
-            alive_ref[0] = (jnp.max(t_excl[:, last:] * one_m[:, last:])
-                            >= geometry.T_MIN).astype(jnp.int32)
+            # Chunk-exit liveness: the last pair's live flag IS the
+            # per-ray "t_incl >= T_MIN at chunk exit" decision, so the
+            # carry decodes from the same sign bits (bitwise the
+            # forward's chunk predication).
+            alive_ref[0] = (jnp.max(live[:, last:]) > 0.0).astype(jnp.int32)
             return
 
         t_raw = traw_ref[...]

@@ -82,10 +82,12 @@ class PallasTraceConfig:
     fast_math: bool = False
     # cache_fwd stores the forward's per-pair gated alpha (sign bit =
     # the ALPHA_MAX clamp gate, zero = gated out) and exclusive
-    # transmittance as bf16 kernel outputs, and the backward consumes
-    # them instead of replaying the forward per pair: the exp, the
-    # alpha/ok gates, the transmittance cumprod scan, and the
-    # chunk-carry bookkeeping all drop out of the backward body
+    # transmittance (sign bit = the f32 T_MIN live decision, so every
+    # discrete forward gate decodes bitwise) as bf16 kernel outputs, and
+    # the backward consumes them instead of replaying the forward per
+    # pair: the exp, the alpha/ok/live gates, the transmittance cumprod
+    # scan, and the chunk-carry bookkeeping all drop out of the backward
+    # body
     # (reference: backward.cu replays the full forward hit walk,
     # backward.cu:510-583 — a GPU-idiomatic recompute that on TPU is
     # ~30-40% of the issue-bound backward body).  Costs one HBM round
@@ -268,7 +270,8 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         else:
             p_excl = lane_cumprod_excl(one_m)
             t_excl = p_excl * t_raw                          # (R, KC)
-            live = (t_excl * one_m >= geometry.T_MIN).astype(jnp.float32)
+            live_b = t_excl * one_m >= geometry.T_MIN
+            live = live_b.astype(jnp.float32)
             scan_p_excl, scan_one_m = p_excl, one_m
         w = alpha * t_excl * live
         w_ref[:, ks] = w
@@ -279,12 +282,16 @@ def _forward_kernel(cnt_ref, dirs_ref, drows_ref, mind_ref, t0_ref,
         if cache:
             # Backward residuals: gated alpha with the ALPHA_MAX clamp
             # gate in the sign bit (negative = clamped, zero = gated
-            # out), and the exclusive transmittance.  bf16: gradients
-            # tolerate the ~0.4% rounding (fast_math class).
+            # out), and the exclusive transmittance with the f32 T_MIN
+            # live decision in ITS sign bit (negative = dead) — every
+            # forward gate decodes bitwise in the backward; only the
+            # alpha/T magnitudes carry the bf16 ~0.4% rounding
+            # (fast_math class).
             clamped = ok & (alpha_raw >= geometry.ALPHA_MAX)
             ac_ref[0, :, ks] = jnp.where(clamped, -alpha,
                                          alpha).astype(jnp.bfloat16)
-            te_ref[0, :, ks] = t_excl.astype(jnp.bfloat16)
+            te_ref[0, :, ks] = jnp.where(live_b, t_excl,
+                                         -t_excl).astype(jnp.bfloat16)
 
         # carried raw transmittance (chunk-exit product, order-independent
         # so the scan-order tail is exact).  The OUTPUT transmittance needs
@@ -602,8 +609,16 @@ def _pallas_core(ray_block: int, exact: bool, fast: bool, cache: bool,
     """The differentiable pallas_call boundary: everything around it
     (candidate gathers, frame building, un-tiling) is plain jnp and is
     differentiated by JAX; this custom_vjp supplies the kernel-level
-    gradients from ops/pallas_backward.py."""
-    out = _core_fwd_call(ray_block, exact, fast, cache, cnt_t, dirs_t,
+    gradients from ops/pallas_backward.py.
+
+    The primal only runs when nothing differentiates through the call
+    (eval/render; under grad, _pallas_core_fwd runs instead), so the
+    cache_fwd backward residuals — the largest buffers in the render,
+    and NOT dead-code-eliminated from a pallas_call — are never emitted
+    here: cache is forced off.  Forward channels are bitwise identical
+    either way (tests/test_pallas_backward.py::test_forward_unchanged)."""
+    del cache
+    out = _core_fwd_call(ray_block, exact, fast, False, cnt_t, dirs_t,
                          drows_t, mind_t, t0_t, axes, plane, inv_scale,
                          opac, sign, sh)
     return out[0], out[1]
