@@ -96,11 +96,57 @@ class TileConfig:
     # pad.  A culled splat only re-enters at the next rebin, like any
     # footprint that drifts across a tile boundary.
     snap_pad_px: float | None = None
+    # Integer-sample tile-overlap test (the per-TILE analogue of
+    # sample_snap).  The classic test is continuous with +-0.5 px slack:
+    # a footprint grazing a tile band passes even when the overlap region
+    # contains no integer (row, col) — no actual ray.  With int_overlap a
+    # (tile, splat) pair is listed only when the padded footprint box
+    # intersected with the tile contains an integer sample on BOTH axes.
+    # Measured on the bench street soup (scripts/overcount_probe.py):
+    # cuts ~15% of binned pairs, nearly output-exact (the alpha >= 1/255
+    # region is inside the box, so a sample-free box overlap passes the
+    # gate nowhere in the tile); int_eps guards the footprint bound's own
+    # approximation error at the box edge (8 of 136k gate-passing pairs
+    # sat within 0.5 px outside the unpadded box).  pad_px still applies
+    # (rebin-drift absorption is unchanged).
+    int_overlap: bool = True
+    int_eps: float = 0.25
 
     def num_tiles(self, height: int, width: int) -> tuple[int, int]:
         """Tile counts with ceiling division — rasters whose dims don't
         divide are handled by the tracer with wrap/clamp-padded rays."""
         return (-(-height // self.tile_h), -(-width // self.tile_w))
+
+
+def _int_row_overlap(row_lo, row_hi, t_lo, t_hi, eps: float):
+    """Integer-sample row overlap: does [row_lo - eps, row_hi + eps]
+    intersected with the tile's integer rows [t_lo, t_hi - 1] contain an
+    integer?  Tighter than the continuous +-0.5 px test — rays only exist
+    at integer rows (broadcasting shapes)."""
+    return (jnp.floor(jnp.minimum(row_hi + eps, t_hi - 1.0))
+            >= jnp.ceil(jnp.maximum(row_lo - eps, t_lo)))
+
+
+def _int_col_overlap(o, col_half, tw: int, width: float, eps: float):
+    """Integer-sample column overlap.  o: SIGNED circular offset of the
+    footprint center from the tile's first integer column; the +-width
+    shifted retests cover footprints whose circular interval wraps the
+    azimuth seam (col_half is clamped to width/2, so three linear tests
+    cover every circular interval)."""
+    ch = col_half + eps
+
+    def hit(oo):
+        return (jnp.floor(jnp.minimum(oo + ch, tw - 1.0))
+                >= jnp.ceil(jnp.maximum(oo - ch, 0.0)))
+
+    return hit(o) | hit(o + width) | hit(o - width)
+
+
+def _signed_col_offset(col_c, first_col, width: float):
+    """Signed circular offset (-width/2, width/2] of footprint centers
+    from tile first-column positions (broadcasting shapes)."""
+    o = jnp.mod(col_c - first_col, width)
+    return jnp.where(o > width / 2.0, o - width, o)
 
 
 def _top_k(cfg: TileConfig, neg_score: Array, k: int):
@@ -300,11 +346,23 @@ def bin_surfels(grid: rays_lib.SensorGrid, width: int, world2sensor: Array,
     tile_col_half = cfg.tile_w / 2.0
 
     # Overlap tests, all (T_y or T_x, N).
-    row_overlap = (row_lo[None, :] <= tile_row_hi[:, None] - 0.5) \
-        & (row_hi[None, :] >= tile_row_lo[:, None] - 0.5)
-    dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
-    dcol = jnp.minimum(dcol, width - dcol)                   # azimuth wrap
-    col_overlap = dcol <= (col_half[None, :] + tile_col_half + 0.5)
+    if cfg.int_overlap:
+        eps = cfg.int_eps
+        row_overlap = _int_row_overlap(row_lo[None, :], row_hi[None, :],
+                                       tile_row_lo[:, None],
+                                       tile_row_hi[:, None], eps)
+        first_col = jnp.mod(col_offset + tx.astype(jnp.float32)
+                            * cfg.tile_w, float(width))
+        o = _signed_col_offset(col_c[None, :], first_col[:, None],
+                               float(width))
+        col_overlap = _int_col_overlap(o, col_half[None, :], cfg.tile_w,
+                                       float(width), eps)
+    else:
+        row_overlap = (row_lo[None, :] <= tile_row_hi[:, None] - 0.5) \
+            & (row_hi[None, :] >= tile_row_lo[:, None] - 0.5)
+        dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
+        dcol = jnp.minimum(dcol, width - dcol)               # azimuth wrap
+        col_overlap = dcol <= (col_half[None, :] + tile_col_half + 0.5)
 
     overlap = (row_overlap[:, None, :] & col_overlap[None, :, :]
                & live[None, None, :]).reshape(t_total, n)
@@ -387,6 +445,21 @@ def _select_sorted(cfg: TileConfig, h: int, width: int, num_cols: int,
     dcol = jnp.abs(col_c[:, None, None, None] - tile_cc)
     dcol = jnp.minimum(dcol, width - dcol)
     col_ok = dcol <= (col_half[:, None, None, None] + tw / 2.0 + 0.5)
+    if cfg.int_overlap:
+        # Integer-sample tightening (the ty/tx enumeration above is a
+        # +-0.5-slack superset of the +-int_eps test, so filtering the
+        # enumerated pairs is exact).
+        t_lo = (ty_c * th).astype(jnp.float32)
+        t_hi = jnp.minimum((ty_c + 1) * th, h).astype(jnp.float32)
+        row_ok &= _int_row_overlap(row_lo[:, None, None, None],
+                                   row_hi[:, None, None, None],
+                                   t_lo, t_hi, cfg.int_eps)
+        fc = jnp.mod(col_offset + tx_c.astype(jnp.float32) * tw,
+                     float(width))
+        o = _signed_col_offset(col_c[:, None, None, None], fc,
+                               float(width))
+        col_ok &= _int_col_overlap(o, col_half[:, None, None, None], tw,
+                                   float(width), cfg.int_eps)
 
     valid = (row_ok & col_in & col_ok & rep_ok
              & live[:, None, None, None])                    # (N,DR,DC,2)
@@ -445,6 +518,8 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
     tx = jnp.arange(tiles_x)
     tile_col_c = jnp.mod(col_offset + (tx.astype(jnp.float32) + 0.5)
                          * cfg.tile_w, float(width))
+    first_col = jnp.mod(col_offset + tx.astype(jnp.float32) * cfg.tile_w,
+                        float(width))
     # Tail re-trace filter: the column stages must use each sector's MOST
     # PERMISSIVE (minimum) row-tile bound — a candidate already consumed
     # by one row tile may still be rank K+1 of a sibling tile.
@@ -485,10 +560,17 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         packed_m = jnp.stack([col_c, col_half, rng], axis=-1)
         gm = packed_m[cand]                                 # (tiles_x, K_a, 3)
         col_c_x, col_half_x, rng_x = gm[..., 0], gm[..., 1], gm[..., 2]
-        dcol = jnp.abs(col_c_x - tile_col_c[:, None])
-        dcol = jnp.minimum(dcol, width - dcol)
-        col_overlap = (dcol <= (col_half_x + cfg.tile_w / 2.0 + 0.5)) \
-            & cand_ok                                       # (tiles_x, K_a)
+        if cfg.int_overlap:
+            o = _signed_col_offset(col_c_x, first_col[:, None],
+                                   float(width))
+            col_overlap = _int_col_overlap(
+                o, col_half_x, cfg.tile_w, float(width),
+                cfg.int_eps) & cand_ok                      # (tiles_x, K_a)
+        else:
+            dcol = jnp.abs(col_c_x - tile_col_c[:, None])
+            dcol = jnp.minimum(dcol, width - dcol)
+            col_overlap = (dcol <= (col_half_x + cfg.tile_w / 2.0 + 0.5)) \
+                & cand_ok                                   # (tiles_x, K_a)
         if sector_min is not None:
             col_overlap &= rng_x > sector_min[:, None]
         score = jnp.where(col_overlap, rng_x, jnp.inf)
@@ -499,10 +581,18 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
         k_c = kk_c
         macro_trunc_tx = macro_trunc[parent]
     else:
-        dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
-        dcol = jnp.minimum(dcol, width - dcol)
-        col_overlap = (dcol <= (col_half[None, :] + cfg.tile_w / 2.0 + 0.5)) \
-            & live[None, :]                                 # (tiles_x, N)
+        if cfg.int_overlap:
+            o = _signed_col_offset(col_c[None, :], first_col[:, None],
+                                   float(width))
+            col_overlap = _int_col_overlap(
+                o, col_half[None, :], cfg.tile_w, float(width),
+                cfg.int_eps) & live[None, :]                # (tiles_x, N)
+        else:
+            dcol = jnp.abs(col_c[None, :] - tile_col_c[:, None])
+            dcol = jnp.minimum(dcol, width - dcol)
+            col_overlap = (dcol <= (col_half[None, :]
+                                    + cfg.tile_w / 2.0 + 0.5)) \
+                & live[None, :]                             # (tiles_x, N)
         if sector_min is not None:
             col_overlap &= rng[None, :] > sector_min[:, None]
 
@@ -524,9 +614,14 @@ def _select_hier(cfg: TileConfig, h: int, width: int, col_offset: int,
     ty = jnp.arange(tiles_y)
     t_row_lo = (ty * cfg.tile_h).astype(jnp.float32)
     t_row_hi = jnp.minimum((ty + 1) * cfg.tile_h, h).astype(jnp.float32)
-    row_ok = ((row_lo_c[None] <= t_row_hi[:, None, None] - 0.5)
-              & (row_hi_c[None] >= t_row_lo[:, None, None] - 0.5)
-              & valid_c[None])                              # (ty, tx, K_c)
+    if cfg.int_overlap:
+        row_ok = _int_row_overlap(
+            row_lo_c[None], row_hi_c[None], t_row_lo[:, None, None],
+            t_row_hi[:, None, None], cfg.int_eps) & valid_c[None]
+    else:
+        row_ok = ((row_lo_c[None] <= t_row_hi[:, None, None] - 0.5)
+                  & (row_hi_c[None] >= t_row_lo[:, None, None] - 0.5)
+                  & valid_c[None])                          # (ty, tx, K_c)
     if min_range_2d is not None:
         row_ok &= rng_c[None] > min_range_2d[:, :, None]
 

@@ -381,9 +381,14 @@ class TestTailTraining:
         batch = loop.frame_batch(tr.frames, 0)
         s1, m = tr.step_fn(tr.state, batch)
         assert np.isfinite(float(m["loss"]))
-        # later passes exist and are disjoint from pass 1 where valid
+        # later passes exist and are disjoint from pass 1 PER TILE (the
+        # invariant min_range guarantees; a candidate may legitimately
+        # sit in tile A's pass 0 and tile B's pass 1 — each tile's
+        # cutoff is its own K-th candidate range)
         v = np.asarray(s1.bins.valid[0])
         i = np.asarray(s1.bins.index[0])
-        p0 = set(i[0][v[0]].tolist())
-        p1 = set(i[1][v[1]].tolist())
-        assert not (p0 & p1)
+        assert v[1].any()                       # pass 2 actually exists
+        for t in range(i.shape[1]):
+            p0 = set(i[0, t][v[0, t]].tolist())
+            p1 = set(i[1, t][v[1, t]].tolist())
+            assert not (p0 & p1), t
