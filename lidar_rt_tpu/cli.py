@@ -174,6 +174,7 @@ def main_train(argv=None) -> None:
     testing_every = int(args.get("testing_iterations", 1000))
     saving = set(args.get("saving_iterations", []))
     best_psnr = -1.0
+    eval_history: list[dict] = []
 
     t0 = time.time()
     logged = 0
@@ -207,6 +208,9 @@ def main_train(argv=None) -> None:
         is_best = mean_psnr > best_psnr
         best_psnr = max(best_psnr, mean_psnr)
         it = trainer.iteration
+        eval_history.append({"iteration": it, "eval_psnr": mean_psnr,
+                             "per_frame": [round(x, 4) for x in psnrs],
+                             "alive": hist[-1]["alive"]})
 
         # rendered snapshots (train.py:271-302 visual_interval equivalent)
         from lidar_rt_tpu.utils.export import colormap, write_png
@@ -231,6 +235,17 @@ def main_train(argv=None) -> None:
               f"{mean_psnr:.2f}{' *best*' if is_best else ''} "
               f"alive {hist[-1]['alive']}")
 
+    def _dump_log() -> None:
+        # training + densification history (train.py:450-501 log.json
+        # parity).  Written before AND after the refine phase so the eval
+        # trajectory survives a refine-stage crash.
+        with open(os.path.join(model_dir, "logs", "log.json"), "w") as fp:
+            json.dump({"history": trainer.history,
+                       "densify": trainer.densify_log,
+                       "eval_history": eval_history}, fp, indent=1)
+
+    _dump_log()
+
     # ray-drop refinement phase (train.py:386-447); -r forces it
     if a.only_refine or bool(args.refine.use_refine):
         from lidar_rt_tpu.train import refine as refine_lib
@@ -248,10 +263,7 @@ def main_train(argv=None) -> None:
                                   "final_loss": hist[-1]})
         print(f"unet refinement: {hist[0]:.4f} -> {hist[-1]:.4f}")
 
-    # training + densification history (train.py:450-501 log.json parity)
-    with open(os.path.join(model_dir, "logs", "log.json"), "w") as fp:
-        json.dump({"history": trainer.history,
-                   "densify": trainer.densify_log}, fp, indent=1)
+    _dump_log()
     _write_log_plot(os.path.join(model_dir, "logs", "log.png"),
                     trainer.history, trainer.densify_log)
     recorder.close()

@@ -6,7 +6,7 @@ waymo_loader/__init__.py:92-102) and a KITTI-360 bin/XML sequence (66x1030,
 40 frames, 1 actor; kitti_loader/__init__.py:186-189) — then drives the
 actual `train.py -dc ... -ec ...` -> `eval.py` CLI against them
 (configs/rehearsal/*), and records metric tables + throughput into
-E2E_r04.json.
+E2E_r05.json (evidence copies under e2e_artifacts/).
 
 Usage:
     python scripts/e2e_rehearsal.py gen           # build both datasets
@@ -191,11 +191,18 @@ def run_cli(kind: str, which: str) -> float:
 
 
 def collect() -> None:
-    rec = {"round": 4, "shapes": {"waymo": [50, 64, 2650, 2],
+    import hashlib
+    import shutil
+
+    art = os.path.join(REPO, "e2e_artifacts")
+    os.makedirs(art, exist_ok=True)
+    rec = {"round": 5, "shapes": {"waymo": [50, 64, 2650, 2],
                                   "kitti360": [40, 66, 1030, 1]},
            "schedule": "4k iterations (30k reference schedule compressed "
-                       "7.5x; densify 300-2000/100, opacity reset 1000), "
-                       "UNet refine 40 epochs", "results": {}}
+                       "7.5x; densify/prune active to schedule end — the "
+                       "round-5 root-cause fix for the post-2000 quality "
+                       "decline; opacity reset 1000), UNet refine 40 "
+                       "epochs", "results": {}}
     for which, scene_id in (("waymo", "we1"), ("kitti360", "ke1")):
         mdir = os.path.join(OUT, "exp", f"scene_{scene_id}")
         res_path = os.path.join(mdir, "metrics", "results_all.json")
@@ -203,12 +210,27 @@ def collect() -> None:
         if os.path.exists(res_path):
             with open(res_path) as f:
                 entry["metrics_mean"] = json.load(f)["mean"]
+            # results_all.json is under gitignored output/ — copy the
+            # evidence into the committed artifact dir (VERDICT r4 #5).
+            shutil.copy(res_path,
+                        os.path.join(art, f"results_all_{which}.json"))
         unet = os.path.join(mdir, "models", "unet.npz")
-        entry["unet_npz"] = os.path.exists(unet)
+        if os.path.exists(unet):
+            with open(unet, "rb") as f:
+                entry["unet_npz_sha256"] = hashlib.sha256(
+                    f.read()).hexdigest()
+            entry["unet_npz_bytes"] = os.path.getsize(unet)
+        else:
+            entry["unet_npz_sha256"] = None
         log_path = os.path.join(mdir, "logs", "log.json")
         if os.path.exists(log_path):
+            shutil.copy(log_path, os.path.join(art, f"log_{which}.json"))
             with open(log_path) as f:
-                hist = json.load(f)["history"]
+                log = json.load(f)
+            hist = log["history"]
+            # Held-out eval PSNR at every testing_iterations point — the
+            # non-decreasing trajectory is the round-5 task-1 evidence.
+            entry["eval_history"] = log.get("eval_history", [])
             # 'elapsed' is stamped on log-event entries only (every
             # log_every iterations); measure steady state across the
             # stamped entries past warmup.
@@ -222,7 +244,7 @@ def collect() -> None:
             entry["final_loss"] = hist[-1]["loss"]
             entry["iterations_recorded"] = len(hist)
         rec["results"][which] = entry
-    out = os.path.join(REPO, "E2E_r04.json")
+    out = os.path.join(REPO, "E2E_r05.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec, indent=1))
