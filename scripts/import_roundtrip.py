@@ -13,7 +13,7 @@ LiDAR-RT model on this engine" — end to end on a real trained scene:
   3. train.py --resume fine-tunes 200 iterations from the import.
   4. eval.py produces a metric table from the fine-tuned model.
 
-Writes IMPORT_RT_r04.json {exported_pth, import, finetune, eval}.
+Writes IMPORT_RT_r05.json {exported_pth, import, finetune, eval}.
 
 Usage:  python scripts/import_roundtrip.py
 (expects the rehearsal Waymo training to have run: output/rehearsal/)
@@ -88,7 +88,7 @@ def run(cmd: list[str]) -> float:
 
 
 def main() -> None:
-    rec = {"round": 4, "export": export_reference_pth()}
+    rec = {"round": 5, "export": export_reference_pth()}
     py = sys.executable
 
     rec["import_s"] = round(run(
@@ -103,7 +103,7 @@ def main() -> None:
                        "results_all.json")
     with open(res) as f:
         rec["metrics_mean"] = json.load(f)["mean"]
-    out = os.path.join(REPO, "IMPORT_RT_r04.json")
+    out = os.path.join(REPO, "IMPORT_RT_r05.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec, indent=1))
