@@ -125,7 +125,18 @@ def _nn_sq_dists(a: np.ndarray, b: np.ndarray, chunk: int = 2048
 
         def pad_bucket(x):
             n = x.shape[0]
-            bucket = max(2048, 1 << (n - 1).bit_length())
+            # Quarter-steps between powers of two: <= 1.25x padding waste
+            # (a pure power-of-two bucket wastes up to 2x PER SIDE of the
+            # O(|a|x|b|) distance matmul — measured ~60 s/frame at Waymo
+            # eval counts) while keeping the shape set small enough that
+            # repeated frames still reuse a handful of compiled programs.
+            p = max(2048, 1 << max((n - 1).bit_length() - 3, 0) << 3)
+            base = p >> 3
+            bucket = base * 8
+            for q in (5, 6, 7, 8):
+                if base * q >= n:
+                    bucket = base * q
+                    break
             out = np.zeros((bucket, 3), np.float32)
             out[:n] = x
             mask = np.zeros((bucket,), bool)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Callable
 
 import jax
@@ -184,7 +185,13 @@ class EvalRunner:
         if save_pcds is None:
             save_pcds = save_images
         frame_ids = self._frame_ids(eval_type)
-        per_frame = {f: self.evaluate_frame(f) for f in frame_ids}
+        per_frame = {}
+        t0 = time.time()
+        for i, f in enumerate(frame_ids):
+            per_frame[f] = self.evaluate_frame(f)
+            if i == 0 or (i + 1) % 10 == 0 or i + 1 == len(frame_ids):
+                print(f"  eval frame {i + 1}/{len(frame_ids)} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
         if (save_images or save_pcds) and output_dir:
             for f in frame_ids:
                 self.save_frame_images(f, os.path.join(output_dir, "images"),

@@ -107,9 +107,13 @@ class PallasTraceConfig:
         if (self.tile.tile_h * self.tile.tile_w) % self.ray_block:
             raise ValueError("tile ray count must divide by ray_block")
         if self.ray_block % 8 or self.ray_block > 512:
-            # Backward-kernel VMEM: ~12 live (ray_block, 128) f32 temporaries
-            # per unrolled chunk; rb > 512 exceeds the 16 MB budget and odd
-            # rb wastes sublane padding.
+            # Backward-kernel VMEM: ~12 live (ray_block, 128) f32
+            # temporaries per unrolled chunk plus six (rb, K) scratches.
+            # rb = 1024 compiles under the 96 MB scoped budget but was
+            # MEASURED 3x slower than 512 on-chip (round 5: 7.14 vs
+            # 21.36 Mray/s flagship bench — VMEM over-subscription kills
+            # Mosaic's pipelining long before the hard limit), so the cap
+            # stays at the measured-optimal 512.
             raise ValueError("ray_block must be a multiple of 8 and <= 512")
 
 

@@ -47,7 +47,7 @@ def trace_ray_sharded(bundle: SurfelBundle, grid: rays_lib.SensorGrid,
     band_w = width // n_band
 
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P()),
         out_specs=(P(None, axis, None), P()),
     )

@@ -111,8 +111,12 @@ def make_sharded_bin_fn(frames: LiDARFrames, args,
                                    pad_px=max(trace_cfg.tile.pad_px, 2.0),
                                    snap_pad_px=0.5)
 
+    # check_vma=False on every shard_map wrapping the pallas tracer:
+    # pallas_call out_shapes carry no varying-mesh-axes metadata, and
+    # jax's vma check rejects that on real TPU (CPU interpret mode never
+    # exercises it — found by scripts/sharded_overhead.py on-chip, r5).
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), BATCH_SPECS, BIN_SPECS),
         out_specs=(ASSIGN_SPEC, ASSIGN_SPEC, BIN_SPECS))
     def bin_fn(scene: Scene, batch: FrameBatch, bins: BinCache):
@@ -200,7 +204,7 @@ def make_sharded_loss_fn(frames: LiDARFrames, args,
             in_specs = in_specs + (ASSIGN_SPEC, ASSIGN_SPEC)
 
         @functools.partial(
-            jax.shard_map, mesh=mesh,
+            jax.shard_map, mesh=mesh, check_vma=False,
             in_specs=in_specs,
             out_specs=(P(), P()),
         )

@@ -44,13 +44,18 @@ def _kernel(a_ref, b_ref, o_ref, *, dtype, reps, with_exp):
     amin = jnp.asarray(1.0 / 255.0, dtype)
     acc = jnp.zeros_like(a)
     for _ in range(reps):
-        # gate-phase-shaped body: 2 fma, 2 mul, exp?, min, cmp, select
+        # gate-phase-shaped body WITHOUT compares: Mosaic rejects bf16
+        # cmpf on v5e ("Target does not support this comparison") even
+        # though it packs bf16 arithmetic 2/slot — so a bf16 gate phase
+        # could only use arithmetic gating (min/max saturation), which is
+        # what this body models: 2 fma, 2 mul, exp?, min, max-clamp.
         u = a * b + half
         v = u * a - half
         g = jnp.exp(-(u * u + v * v)) if with_exp else (u * u + v * v)
         al = jnp.minimum(amax, g * b)
-        ok = al >= amin
-        acc = acc + jnp.where(ok, al, jnp.zeros_like(al))
+        gate = jnp.maximum(jnp.minimum((al - amin) * amax, amax),
+                           jnp.zeros_like(al))
+        acc = acc + al * gate
         a = a + jnp.asarray(1e-6, dtype)
     o_ref[...] = acc
 
