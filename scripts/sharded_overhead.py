@@ -70,17 +70,29 @@ def timed_run(trainer) -> float:
 
 def main() -> None:
     cfg = tracer_lib.TraceConfig()   # flagship defaults
-    frames, args, scene = build_inputs()
-    plain = timed_run(loop.Trainer(scene, frames, args, cfg))
-
-    frames, args, scene = build_inputs()
-    mesh = make_mesh(dp=1, rays=1)
-    shard = timed_run(ShardedTrainer(scene, frames, args, mesh=mesh,
-                                     trace_cfg=cfg))
-
-    print(f"plain Trainer          : {plain:7.2f} it/s")
-    print(f"ShardedTrainer (1x1)   : {shard:7.2f} it/s")
-    print(f"shard_map overhead     : {(plain / shard - 1.0) * 100:+6.1f} %")
+    results = {}
+    # rebin=10 is the production point; rebin=1 attributes the tax: if
+    # the overhead RATIO shrinks when binning dominates the step, the
+    # sharded cache merge machinery (delta-psum + relayout) is the tax;
+    # if it grows, the per-step render plumbing is.
+    for rebin in (10, 1):
+        for kind in ("plain", "sharded"):
+            frames, args, scene = build_inputs()
+            d = args.to_dict()
+            d["opt"].update(rebin_interval=rebin)
+            args = Args(d)
+            if kind == "plain":
+                tr = loop.Trainer(scene, frames, args, cfg)
+            else:
+                tr = ShardedTrainer(scene, frames, args,
+                                    mesh=make_mesh(dp=1, rays=1),
+                                    trace_cfg=cfg)
+            results[kind, rebin] = timed_run(tr)
+            print(f"{kind:8s} rebin={rebin:2d}: "
+                  f"{results[kind, rebin]:7.2f} it/s", flush=True)
+    for rebin in (10, 1):
+        p, s = results["plain", rebin], results["sharded", rebin]
+        print(f"rebin={rebin:2d}: shard_map overhead {(p / s - 1) * 100:+6.1f} %")
 
 
 if __name__ == "__main__":
