@@ -61,12 +61,13 @@ CONFIGS = [
      TileConfig(tile_h=8, tile_w=128, max_per_tile=128, binner="hier",
                 approx_topk=True, pad_px=2.0), None,
      {"rebin_interval": 10}, 512, 1),
-    # Azimuth-NARROW tiles (round-4 subtile-demand study): footprints are a
-    # few px wide at range, so 32-px sectors cut the per-tile candidate
-    # demand far more than row-narrow tiles (8x32 fits K=128 on 99.1% of
-    # flagship sub-tiles).  16x32 keeps the tile at 512 rays (= ray_block,
-    # no wasted lanes) and benches 26.0 Mray/s vs the 8x128 K=256
-    # flagship's 19.5 (channel-major kernels).
+    # Azimuth-NARROW tiles (round-4 subtile-demand study; round-5
+    # RE-ADJUDICATION in LADDER_r05.json): the "demand fits K=128" table
+    # was conditioned on the flagship's 256-selection (overcount probe);
+    # plain 16x32 K=128 truncates on every ladder seed, 16x32+tail1 won
+    # both ladder seeds at this 4-frame scale but was REFUTED at
+    # 50-frame/265k rehearsal scale.  Bench soup: 26.8 vs the flagship's
+    # 21.4 Mray/s (round-5 numbers).
     ("16x32 K=128 rebin10", _T16X32, None, {"rebin_interval": 10}, 512, 0),
     ("16x32 K=128 rebin10 tail1", _T16X32, None,
      {"rebin_interval": 10}, 512, 1),

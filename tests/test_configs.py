@@ -133,6 +133,21 @@ class TestFlagshipSingleSource:
                 == flagship.resolve_engine(64, 2650, None))
         assert default == flagship
 
+    def test_rehearsal_schedule_keeps_pruning_to_end(self):
+        """Round-5 root-cause regression guard: the rehearsal schedule's
+        densify/prune phase must stay active to schedule end.  Freezing
+        the scene mid-growth un-pruned (the proportional 2000-of-4000
+        cutoff) caused the held-out PSNR to DECLINE after it 2000 in
+        every round-3/4 run; with pruning to the end it is monotone on
+        both datasets (E2E_r05.json)."""
+        prev = os.getcwd()
+        os.chdir(REPO)
+        try:
+            args = parse("configs/rehearsal/exp.yaml")
+        finally:
+            os.chdir(prev)
+        assert int(args.opt.densify_until_iter) == int(args.opt.iterations)
+
     def test_warmup_k_wiring(self, tmp_path):
         """tracer.warmup_max_per_tile/warmup_until reach Trainer's warmup
         schedule through the CLI config path (VERDICT r3 #4)."""
