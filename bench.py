@@ -36,6 +36,7 @@ _TAIL = int(_os.environ.get("BENCH_TAIL", 0))
 _RAY_BLOCK = int(_os.environ.get("BENCH_RAY_BLOCK", 512))
 _EXACT = bool(int(_os.environ.get("BENCH_EXACT", 0)))
 _MACRO = int(_os.environ.get("BENCH_MACRO_COLS", 0))
+_INT_EPS = float(_os.environ.get("BENCH_INT_EPS", 0.25))
 # Rebin-interval amortization (train/loop.py BinCache): the tile assignment
 # is a stop-gradient visibility oracle re-binned every REBIN_EVERY renders
 # of a frame, not every step (quality-validated at training scale by
@@ -103,7 +104,8 @@ def main() -> None:
     cfg = tracer_lib.TraceConfig(
         tile=TileConfig(tile_h=_TILE_H, tile_w=_TILE_W, max_per_tile=_K,
                         binner="hier", approx_topk=True, macro_cols=_MACRO,
-                        pad_px=REBIN_PAD_PX, snap_pad_px=0.5),
+                        pad_px=REBIN_PAD_PX, snap_pad_px=0.5,
+                        int_eps=_INT_EPS),
         exact_order=_EXACT, ray_block=_RAY_BLOCK, fast_math=True,
         tail_passes=_TAIL)
     n_passes = cfg.tail_passes + 1
