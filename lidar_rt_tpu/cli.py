@@ -230,10 +230,13 @@ def main_train(argv=None) -> None:
             ckpt_lib.retain_best(
                 os.path.join(model_dir, "models"), it, trainer.state,
                 is_best, {"iteration": it, "eval_psnr": mean_psnr})
-        print(f"[{time.time()-t0:8.1f}s] it {it}/{total} "
-              f"loss {hist[-1]['loss']:.4f} eval intensity PSNR "
-              f"{mean_psnr:.2f}{' *best*' if is_best else ''} "
-              f"alive {hist[-1]['alive']}")
+        from lidar_rt_tpu.utils import console
+        console.log(
+            f"[{time.time()-t0:8.1f}s] it {it}/{total} "
+            f"loss {hist[-1]['loss']:.4f} eval intensity PSNR "
+            f"{console.bold(f'{mean_psnr:.2f}')}"
+            f"{console.green(' *best*') if is_best else ''} "
+            f"alive {hist[-1]['alive']}")
 
     def _dump_log() -> None:
         # training + densification history (train.py:450-501 log.json

@@ -119,3 +119,29 @@ class TestApng:
         assert raw.count(b"fcTL") == 3
         assert raw.count(b"fdAT") == 2
         assert b"acTL" in raw and b"IEND" in raw
+
+
+class TestConsole:
+    """Colored console layer (reference console_utils.py:305-373)."""
+
+    def test_colors_disabled_when_piped(self, capsys, monkeypatch):
+        monkeypatch.delenv("FORCE_COLOR", raising=False)
+        from lidar_rt_tpu.utils import console
+        # pytest's captured stdout is not a tty -> plain text
+        assert console.red("x") == "x"
+        console.log("hello", level="warn")
+        out = capsys.readouterr().out
+        assert "hello" in out and "warn" in out and "\x1b[" not in out
+
+    def test_colors_enabled_when_forced(self, monkeypatch):
+        monkeypatch.setenv("FORCE_COLOR", "1")
+        monkeypatch.delenv("NO_COLOR", raising=False)
+        from lidar_rt_tpu.utils import console
+        assert console.green("ok").startswith("\x1b[32m")
+        assert console.bold("b").startswith("\x1b[1m")
+
+    def test_no_color_wins(self, monkeypatch):
+        monkeypatch.setenv("NO_COLOR", "1")
+        monkeypatch.setenv("FORCE_COLOR", "1")
+        from lidar_rt_tpu.utils import console
+        assert console.red("x") == "x"
